@@ -1,0 +1,68 @@
+"""Engine configuration.
+
+Mirrors the reference extension's session settings
+(rpt_extension.cpp:56-69): ``rpt_filter_type`` (all|bf_only|
+minmax_only), ``rpt_pass_mode`` (both|forward_only), ``rpt_heuristic``
+(largest_root|join_order), ``rpt_flip_roots``, ``rpt_profiling``,
+``rpt_display_dag`` — re-expressed for a Spark execution model, where
+the exact-key semi-join tier replaces the in-memory Bloom filter as
+the default transfer mechanism (a distinct key-set is a perfect Bloom
+filter, and AQE broadcasts small ones automatically).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+
+@dataclass
+class RPTConfig:
+    #: master switch — False reproduces the "extension not loaded" baseline
+    enabled: bool = True
+    #: "both" | "forward_only"  (reference: rpt_pass_mode)
+    pass_mode: str = "both"
+    #: "largest_root" | "join_order"  (reference: rpt_heuristic)
+    heuristic: str = "largest_root"
+    #: "all" | "bf_only" | "minmax_only"  (reference: rpt_filter_type)
+    #: - bf tier here = exact-key left-semi transfer (perfect Bloom filter)
+    #: - minmax tier = col BETWEEN lo AND hi predicates, which Spark pushes
+    #:   into the Parquet scan (the analogue of the reference's dynamic
+    #:   ConstantFilter pushdown, physical_create_bf.cpp:331-345)
+    filter_type: str = "all"
+    #: reference: rpt_flip_roots (join_order heuristic only)
+    flip_roots: bool = True
+    #: use a serialized Bloom-filter sketch instead of exact key sets when
+    #: the build side exceeds sketch_threshold_rows (scale path for huge
+    #: build sides where a distinct key-set shuffle would be costly)
+    use_sketch: bool = False
+    sketch_threshold_rows: int = 4_000_000
+    sketch_fpp: float = 0.01
+    #: skip transfer from build sides estimated larger than this unless they
+    #: carry a filter (bounded-downside gate; the Robust paper's point)
+    max_unfiltered_build_rows: int = 50_000_000
+    #: broadcast the distinct key-set when its estimated rows are below this
+    #: (otherwise let AQE decide)
+    broadcast_key_rows: int = 2_000_000
+    #: persist reduced tables that both feed a key-set and the final join
+    persist_reduced: bool = True
+    #: collect per-step rows-in/rows-out (reference: rpt_profiling)
+    profiling: bool = False
+    #: print the transfer DAG (reference: rpt_display_dag)
+    display_dag: bool = False
+    #: extra free-form knobs
+    extra: dict = field(default_factory=dict)
+
+    def validate(self) -> "RPTConfig":
+        assert self.pass_mode in ("both", "forward_only"), self.pass_mode
+        assert self.heuristic in ("largest_root", "join_order"), self.heuristic
+        assert self.filter_type in ("all", "bf_only", "minmax_only"), self.filter_type
+        return self
+
+    def with_(self, **kw) -> "RPTConfig":
+        return replace(self, **kw).validate()
+
+
+#: baseline config: rewrite off (reference "extension not loaded")
+BASELINE = RPTConfig(enabled=False)
+#: default config: rewrite on, exact-key + minmax transfer, both passes
+DEFAULT = RPTConfig()

@@ -1,0 +1,152 @@
+"""Apply a TransferPlan to live DataFrames.
+
+This is the Spark-native re-expression of the reference's physical
+CREATE_BF / USE_BF operator pair (physical_create_bf.cpp,
+physical_use_bf.cpp):
+
+- CREATE_BF materializes the build side and produces a Bloom filter
+  -> here: ``build.select(keys).dropDuplicates()`` — an *exact* key
+  set, i.e. a perfect Bloom filter (zero false positives), persisted
+  when reused. AQE broadcasts small key sets automatically; we hint
+  ``broadcast()`` when statistics say the build side is small.
+- USE_BF probes the filter and drops non-joinable rows
+  -> here: ``probe.join(keys, on, "left_semi")``.
+- dynamic min/max scan pushdown (physical_create_bf.cpp:331-345)
+  -> here: ``col BETWEEN lo AND hi`` predicates computed from the
+  reduced build side; Catalyst pushes these into the Parquet scan
+  (visible as PushedFilters), which is the distributed analogue of
+  the reference's ConstantFilter-into-LogicalGet push.
+- empty build side => always-false filter (physical_create_bf.cpp:
+  290-297) -> here: ``probe.where(lit(False))`` short-circuit.
+
+Ordering dependencies (the reference's cross-pipeline scheduling,
+physical_create_bf.cpp:559-613) are free: a key-set is just a
+DataFrame consumed by a later join, so Spark's scheduler sequences
+the stages.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..config import RPTConfig
+from ..plans.ir import TransferPlan, TransferOp
+
+#: Spark atomic types eligible for min/max transfer. The reference pushes
+#: min/max for 13 orderable types incl. VARCHAR (physical_create_bf.cpp:
+#: 131-176); in Spark any orderable atomic type works.
+_MINMAX_TYPES = (
+    "tinyint", "smallint", "int", "integer", "bigint", "long",
+    "float", "double", "date", "timestamp", "timestamp_ntz", "string",
+)
+
+
+@dataclass
+class StepStat:
+    op: TransferOp
+    rows_in: int = -1
+    rows_out: int = -1
+    build_rows: int = -1
+
+
+@dataclass
+class TransferResult:
+    dfs: dict
+    plan: TransferPlan
+    stats: list = field(default_factory=list)
+    persisted: list = field(default_factory=list)
+
+    def release(self):
+        for df in self.persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self.persisted.clear()
+
+
+def _minmax_filter(probe: DataFrame, build: DataFrame, op: TransferOp):
+    """Compute per-column min/max on the build side (one small agg job)
+    and return (n_build_rows, between-predicate or None)."""
+    dtypes = dict(build.dtypes)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    usable = []
+    for c in op.build_cols:
+        if dtypes.get(c) in _MINMAX_TYPES:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+            usable.append(c)
+    row = build.agg(*aggs).collect()[0]
+    n = row["__n"]
+    if n == 0:
+        return 0, None
+    pred = None
+    for bc, pc in zip(op.build_cols, op.probe_cols):
+        if bc not in usable:
+            continue
+        lo, hi = row[f"__min_{bc}"], row[f"__max_{bc}"]
+        if lo is None:
+            continue
+        p = F.col(pc).between(F.lit(lo), F.lit(hi))
+        pred = p if pred is None else (pred & p)
+    return n, pred
+
+
+def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
+                   plan: TransferPlan, cfg: RPTConfig) -> TransferResult:
+    """Execute the schedule over ``dfs`` (alias -> DataFrame), mutating a
+    copy; returns reduced DataFrames plus optional per-step stats."""
+    dfs = dict(dfs)
+    res = TransferResult(dfs=dfs, plan=plan)
+    reduced: set = set()
+
+    for op in plan.ops:
+        build, probe = dfs[op.build], dfs[op.probe]
+        est = rows_est.get(op.build, float("inf"))
+
+        # bounded-downside gate: an unfiltered, never-reduced, huge build
+        # side cannot remove much from the probe — skip (the robustness
+        # margin the reference lacks; it always applies when >1 edge)
+        if (op.build not in filtered and op.build not in reduced
+                and est > cfg.max_unfiltered_build_rows):
+            continue
+
+        st = StepStat(op=op)
+        if cfg.profiling:
+            st.rows_in = probe.count()
+            st.build_rows = build.count()
+
+        # persist a build side that was itself reduced: it feeds the
+        # key-set job(s) AND the final join (the analogue of CREATE_BF's
+        # materialize-and-re-emit, physical_create_bf.cpp:201-242,441-557)
+        if cfg.persist_reduced and op.build in reduced and build not in res.persisted:
+            build = build.persist()
+            dfs[op.build] = build
+            res.persisted.append(build)
+
+        empty = False
+        if cfg.filter_type in ("all", "minmax_only"):
+            n, pred = _minmax_filter(probe, build, op)
+            if n == 0:
+                dfs[op.probe] = probe.where(F.lit(False))
+                empty = True
+            elif pred is not None:
+                probe = probe.where(pred)
+                dfs[op.probe] = probe
+
+        if not empty and cfg.filter_type in ("all", "bf_only"):
+            keys = build.select(
+                *[F.col(b).alias(p) for b, p in zip(op.build_cols, op.probe_cols)]
+            ).dropDuplicates()
+            if est <= cfg.broadcast_key_rows:
+                keys = F.broadcast(keys)
+            dfs[op.probe] = probe.join(keys, on=list(op.probe_cols), how="left_semi")
+
+        reduced.add(op.probe)
+        if cfg.profiling:
+            st.rows_out = dfs[op.probe].count()
+        res.stats.append(st)
+
+    return res

@@ -1,0 +1,45 @@
+"""SparkSession factory tuned for this engine.
+
+Settings chosen for correctness against a DuckDB oracle (UTC session
+timezone, ANSI off to match permissive semantics) and for scale
+(AQE on with skew-join handling; shuffle partitions sized by env).
+On a real cluster only master/shuffle-partitions change — everything
+else is scale-independent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "drpt-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("DRPT_SHUFFLE_PARTITIONS", cpus))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # one-hop native runtime bloom filters as belt-and-braces under our
+        # multi-hop schedule (SURVEY.md section 7)
+        # NOTE: do NOT enable runtimeFilter.semiJoinReduction — it hangs
+        # local-mode jobs on Spark 4.1.2 (observed: any parquet action
+        # deadlocks with that flag set)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # nanosecond parquet timestamps (events table) read as TIMESTAMP_NTZ
+        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("DRPT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return b.getOrCreate()

@@ -1,0 +1,54 @@
+"""Shared helpers for declared queries.
+
+Cross-engine determinism rules (SURVEY.md section 7 "What's hard" #5):
+
+- money aggregates go through DECIMAL(18,4): the double expression is
+  identical IEEE arithmetic on both engines; casting each term to
+  decimal makes the *summation* exact and order-independent, and the
+  final cast back to double is deterministic. This sidesteps
+  float-summation-order divergence entirely.
+- counts are BIGINT on both engines; year()/etc cast to INT.
+- timestamps compare under a UTC session timezone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession, functions as F
+
+from ..engine import Engine, Rel  # noqa: F401  (re-exported for queries)
+from ..config import RPTConfig
+
+
+def eng(spark: SparkSession, sf_dir: str, config: RPTConfig | None = None) -> Engine:
+    # deterministic timestamp collection vs the DuckDB oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return Engine(spark, sf_dir, config)
+
+
+def dsum(col: Column, alias: str) -> Column:
+    """Order-independent double sum via exact decimal accumulation."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def davg(col: Column, alias: str) -> Column:
+    """avg = exact decimal sum cast to double, divided by count (both
+    engines then do the same single IEEE division)."""
+    return (F.sum(col.cast("decimal(18,4)")).cast("double")
+            / F.count(col)).alias(alias)
+
+
+#: the same two helpers, SQL-side (DuckDB)
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+            f" / COUNT({expr}) AS {alias}")
+
+
+REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def revenue_col() -> Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))

@@ -1,0 +1,304 @@
+"""LLM-data-pipeline queries over documents / embeddings / events.
+
+These go beyond the reference's own surface (SURVEY.md section 2d
+"Not present in the reference") — mandated by the north star: dedup,
+similarity search, text analysis, event analytics, each designed so
+the same plan scales to 100 TB (hash-partitioned groupBys, no
+driver-side loops, broadcastable small sides).
+
+Oracle notes: DuckDB and Spark share md5(), date_trunc(), window
+functions and sequential-fold list arithmetic, so most of these have
+exact SQL oracles; the MinHash/SimHash family uses engine-specific
+hashing and gets rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .common import eng
+from .registry import query
+
+# --------------------------------------------------------------------------
+# text analysis (documents)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           LENGTH(text) AS n_char,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+           LENGTH(REPLACE(text, ' ', '')) AS n_nonspace
+    FROM documents
+    """,
+)
+def q_text_stats(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    d = e.table("documents")
+    return d.select(
+        "doc_id", "lang",
+        F.length("text").alias("n_char"),
+        F.size(F.split("text", " ", -1)).alias("n_tokens"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace"),
+    )
+
+
+@query(
+    "q_lang_quality",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) AS avg_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_lang_quality(spark, sf_dir):
+    """Quality scoring profile per language bucket (length/token stats)."""
+    e = eng(spark, sf_dir)
+    d = e.table("documents")
+    return (d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        (F.sum(F.size(F.split("text", " ", -1)).cast("bigint")).cast("double")
+         / F.count(F.lit(1))).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars")))
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp,
+           SUBSTRING(md5(text), 1, 8) AS fp8
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Deterministic document fingerprint (md5 agrees across engines)."""
+    e = eng(spark, sf_dir)
+    return e.table("documents").select(
+        "doc_id", F.md5("text").alias("fp"),
+        F.substring(F.md5("text"), 1, 8).alias("fp8"))
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep the smallest doc_id per content
+    hash. Scales as a single hash aggregation (map-side partial combine)."""
+    e = eng(spark, sf_dir)
+    return (e.table("documents")
+            .groupBy(F.md5("text").alias("h"))
+            .agg(F.min("doc_id").alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id < 40
+    ),
+    pair AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1)
+    SELECT id_a, id_b,
+           ROUND(CAST(inter AS DOUBLE)
+                 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pair
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.12
+    """,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Token-set Jaccard near-dup: explode -> self-join on token ->
+    intersection counts. The scale path shards on token (skew-resistant
+    with AQE); here restricted to a doc subset to bound the pair count."""
+    e = eng(spark, sf_dir)
+    d = e.table("documents").filter(F.col("doc_id") < 40)
+    tok = d.select("doc_id", F.explode(F.split("text", " ", -1)).alias("w")).distinct()
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.select(F.col("doc_id").alias("id_a"), "w")
+    b = tok.select(F.col("doc_id").alias("id_b"), "w")
+    pair = (a.join(b, ["w"]).filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    j = (pair.join(sa, "id_a").join(sb, "id_b")
+         .withColumn("jac", F.col("inter").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("inter")))
+         .filter(F.col("jac") >= 0.12))
+    return j.select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------
+# similarity search (embeddings)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    sims AS (
+      SELECT vec_id, label,
+             ROUND(
+               list_dot_product(CAST(embedding AS DOUBLE[]), qv)
+               / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+      FROM embeddings, q
+      WHERE vec_id <> 0
+    )
+    SELECT vec_id, label, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM sims) t
+    WHERE rn <= 10
+    """,
+)
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k against one query vector — the exact
+    baseline every ANN variant is judged against. All arithmetic stays
+    JVM-side (zip_with/aggregate fold in whole-stage codegen); the query
+    vector is a broadcast literal, so the scan parallelizes perfectly."""
+    e = eng(spark, sf_dir)
+    emb = e.table("embeddings")
+    dot = ("aggregate(zip_with(ed, qd, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    prep = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(
+            emb.filter(F.col("vec_id") == 0)
+            .select(F.expr("transform(embedding, x -> cast(x as double))").alias("qd"))))
+        .withColumn("ed", F.expr("transform(embedding, x -> cast(x as double))"))
+        .withColumn("cos_sim", F.round(
+            F.expr(dot)
+            / (F.sqrt(F.expr(dot.replace("qd", "ed")))
+               * F.sqrt(F.expr(dot.replace("ed", "qd")))), 6)))
+    w = Window.orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (prep.select("vec_id", "label", "cos_sim")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10).drop("rn"))
+
+
+@query(
+    "q_embedding_norms",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           ROUND(SUM(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))))
+                 / COUNT(*), 6) AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def q_embedding_norms(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    emb = e.table("embeddings")
+    norm = F.sqrt(F.expr(
+        "aggregate(zip_with(ed, ed, (x, y) -> x * y), 0D, (a, x) -> a + x)"))
+    return (emb.withColumn("ed", F.expr("transform(embedding, x -> cast(x as double))"))
+            .withColumn("nrm", norm)
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("nrm") / F.count(F.lit(1)), 6).alias("avg_norm")))
+
+
+# --------------------------------------------------------------------------
+# event analytics (events)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_events_tumbling",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling-window aggregate (batch form; streaming twin lives in
+    streaming/)."""
+    e = eng(spark, sf_dir)
+    ev = e.table("events")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour_start"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("total_value")))
+
+
+@query(
+    "q_events_sessionize",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                   OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
+    FROM d
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + running sum of
+    session starts. Partition-parallel by user at any scale."""
+    e = eng(spark, sf_dir)
+    ev = e.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag(F.col("ts").cast("double")).over(w)
+    is_new = F.when(prev.isNull()
+                    | ((F.col("ts").cast("double") - prev) > 1800), 1).otherwise(0)
+    return (ev.withColumn("is_new", is_new)
+            .select("user_id", "event_id",
+                    F.sum("is_new").over(wrun).cast("bigint").alias("session_id")))
+
+
+@query(
+    "q_events_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json(spark, sf_dir):
+    """JSON payload extraction over the props column."""
+    e = eng(spark, sf_dir)
+    ev = e.table("events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.get_json_object("props", "$.k").cast("bigint"))
+                 .cast("bigint").alias("sum_k")))

@@ -1,0 +1,745 @@
+"""Declared star-schema queries (SURVEY.md section 2d).
+
+Two styles:
+
+- multi-join queries are built through ``Engine.reduce`` so the robust
+  predicate-transfer rewrite applies (and is differentially tested
+  RPT-on vs RPT-off, the reference's core invariant README.md:21);
+- pure relational-surface queries (window/set-ops/scalar functions)
+  use dialect-shared SQL run by both Spark and the DuckDB oracle.
+
+Aliases match the oracle exactly; see common.py for the determinism
+conventions on floats/timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .common import (REVENUE, Rel, davg, dsum, eng, revenue_col, sql_davg,
+                     sql_dsum)
+from .registry import query
+
+# --------------------------------------------------------------------------
+# scans / filters / projections
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_project",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber, {REVENUE} AS revenue
+    FROM lineitem
+    """,
+)
+def q_scan_project(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    return e.table("lineitem").select(
+        "l_orderkey", "l_linenumber", revenue_col().alias("revenue")
+    )
+
+
+@query(
+    "q_filter_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def q_filter_scan(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    return (
+        e.table("lineitem")
+        .filter((F.col("l_quantity") > 30)
+                & (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# joins (through the predicate-transfer engine)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_join_2way_inner",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS cnt, {sql_dsum(REVENUE, "rev")}
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_join_2way_inner(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    j = e.reduce_and_join({"l": "lineitem", "o": "orders"},
+                          [("l", "o", "l_orderkey", "o_orderkey")])
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum(revenue_col(), "rev"))
+
+
+FLAGSHIP_ORACLE = f"""
+    SELECT n_name, COUNT(*) AS cnt, {sql_dsum(REVENUE, "revenue")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+
+@query("q_star_join_rpt", oracle=FLAGSHIP_ORACLE)
+def q_star_join_rpt(spark, sf_dir, config=None):
+    """Flagship: the full forward+backward transfer chain
+    lineitem<-orders<-customer<-nation<-region (rpt_optimizer.cpp:826-995)."""
+    e = eng(spark, sf_dir, config)
+    j = e.reduce_and_join(
+        {"l": "lineitem",
+         "o": Rel("orders", "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"),
+         "c": "customer", "n": "nation",
+         "rg": Rel("region", "r_name = 'ASIA'")},
+        [("l", "o", "l_orderkey", "o_orderkey"),
+         ("o", "c", "o_custkey", "c_custkey"),
+         ("c", "n", "c_nationkey", "n_nationkey"),
+         ("n", "rg", "n_regionkey", "r_regionkey")])
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum(revenue_col(), "revenue"))
+
+
+@query(
+    "q_snowflake_agg",
+    oracle=f"""
+    SELECT r_name, n_name, COUNT(*) AS cnt,
+           {sql_dsum(REVENUE, "revenue")},
+           {sql_davg("l_quantity", "avg_qty")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY r_name, n_name
+    """,
+)
+def q_snowflake_agg(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    j = e.reduce_and_join(
+        {"l": "lineitem", "o": "orders",
+         "c": Rel("customer", "c_mktsegment = 'BUILDING'"),
+         "n": "nation", "rg": "region"},
+        [("l", "o", "l_orderkey", "o_orderkey"),
+         ("o", "c", "o_custkey", "c_custkey"),
+         ("c", "n", "c_nationkey", "n_nationkey"),
+         ("n", "rg", "n_regionkey", "r_regionkey")])
+    return j.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(revenue_col(), "revenue"),
+        davg(F.col("l_quantity"), "avg_qty"))
+
+
+@query(
+    "q_multi_col_join",
+    oracle=f"""
+    WITH g AS (
+      SELECT l_orderkey AS g_orderkey, l_suppkey AS g_suppkey,
+             COUNT(*) AS supp_lines
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, COUNT(*) AS cnt,
+           {sql_dsum("l_extendedprice", "total_price")}
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN g ON l_orderkey = g_orderkey AND l_suppkey = g_suppkey
+    WHERE supp_lines >= 2 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_multi_col_join(spark, sf_dir):
+    """Multi-column equi-edge => weight-2 edge preferred by the max
+    spanning tree (graph_manager.hpp:37-43)."""
+    e = eng(spark, sf_dir)
+    li = e.table("lineitem")
+    g = (li.groupBy(F.col("l_orderkey").alias("g_orderkey"),
+                    F.col("l_suppkey").alias("g_suppkey"))
+         .agg(F.count(F.lit(1)).alias("supp_lines"))
+         .filter(F.col("supp_lines") >= 2))
+    j = e.reduce_and_join(
+        {"l": "lineitem",
+         "o": Rel("orders", "o_orderstatus = 'F'"),
+         "g": Rel("g", df=g)},
+        [("l", "o", "l_orderkey", "o_orderkey"),
+         ("l", "g", ("l_orderkey", "l_suppkey"), ("g_orderkey", "g_suppkey"))])
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("l_extendedprice"), "total_price"))
+
+
+@query(
+    "q_cyclic_join_graph",
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS cnt, {sql_dsum(REVENUE, "revenue")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey AND s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    GROUP BY n_name
+    """,
+)
+def q_cyclic_join_graph(spark, sf_dir):
+    """TPC-H Q5 shape: the cycle l-o-c-n-s-l forces spanning-tree edge
+    selection (rpt_optimizer.cpp:215-276); the dropped edge is still
+    enforced in the final join."""
+    e = eng(spark, sf_dir)
+    j = e.reduce_and_join(
+        {"l": "lineitem", "o": "orders", "c": "customer", "s": "supplier",
+         "n": "nation", "rg": Rel("region", "r_name = 'EUROPE'")},
+        [("l", "o", "l_orderkey", "o_orderkey"),
+         ("o", "c", "o_custkey", "c_custkey"),
+         ("l", "s", "l_suppkey", "s_suppkey"),
+         ("c", "n", "c_nationkey", "n_nationkey"),
+         ("s", "n", "s_nationkey", "n_nationkey"),
+         ("n", "rg", "n_regionkey", "r_regionkey")])
+    return j.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum(revenue_col(), "revenue"))
+
+
+@query(
+    "q_left_join",
+    oracle="""
+    SELECT c_custkey, n_name, COUNT(o_orderkey) AS n_orders
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+        AND o_orderstatus = 'O'
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7')
+    GROUP BY c_custkey, n_name
+    """,
+)
+def q_left_join(spark, sf_dir):
+    """LEFT join: the preserved side (customer) must never be reduced by
+    the transfer (ir.JoinEdge.may_filter); orders may be."""
+    e = eng(spark, sf_dir)
+    j = e.reduce_and_join(
+        {"c": "customer",
+         "o": Rel("orders", "o_orderstatus = 'O'"),
+         "n": Rel("nation", "n_name IN ('NATION_3', 'NATION_7')")},
+        [("c", "o", "c_custkey", "o_custkey", "left"),
+         ("c", "n", "c_nationkey", "n_nationkey")])
+    return j.groupBy("c_custkey", "n_name").agg(
+        F.count(F.col("o_orderkey")).alias("n_orders"))
+
+
+@query(
+    "q_right_join",
+    oracle="""
+    SELECT s_suppkey, s_name, COUNT(l_orderkey) AS n_lines
+    FROM (SELECT * FROM lineitem WHERE l_quantity >= 48) l
+    RIGHT JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def q_right_join(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    li = e.table("lineitem").filter(F.col("l_quantity") >= 48)
+    j = li.join(e.table("supplier"), li.l_suppkey == F.col("s_suppkey"), "right")
+    return j.groupBy("s_suppkey", "s_name").agg(
+        F.count(F.col("l_orderkey")).alias("n_lines"))
+
+
+@query(
+    "q_semi_join",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS cnt
+    FROM orders
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem WHERE l_quantity > 49)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_semi_join(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    li = e.table("lineitem").filter(F.col("l_quantity") > 49)
+    j = e.table("orders").join(
+        li, F.col("o_orderkey") == li.l_orderkey, "left_semi")
+    return j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "q_anti_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS cnt
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def q_anti_join(spark, sf_dir):
+    """Anti join is ineligible for transfer (rpt_optimizer.cpp:52-69
+    default branch) but must still execute correctly.
+
+    Note o_custkey has no NULLs, so NOT IN == anti join here."""
+    e = eng(spark, sf_dir)
+    j = e.table("customer").join(
+        e.table("orders"), F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti")
+    return j.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "q_in_subquery_mark",
+    oracle=f"""
+    SELECT p_brand, COUNT(*) AS cnt, {sql_dsum("l_extendedprice", "total")}
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      AND p_size < 10 AND s_acctbal > 0
+    GROUP BY p_brand
+    """,
+)
+def q_in_subquery_mark(spark, sf_dir):
+    """IN-subquery: the reference lifts BF creation above MARK joins so
+    builds see mark-filtered rows (rpt_optimizer.cpp:1518-1549); here the
+    IN becomes a semi join applied before transfer by construction."""
+    e = eng(spark, sf_dir)
+    urgent = e.table("orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = e.table("lineitem").join(
+        urgent.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+    j = e.reduce_and_join(
+        {"l": Rel("l", df=li), "p": Rel("part", "p_size < 10"),
+         "s": Rel("supplier", "s_acctbal > 0")},
+        [("l", "p", "l_partkey", "p_partkey"),
+         ("l", "s", "l_suppkey", "s_suppkey")])
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("l_extendedprice"), "total"))
+
+
+@query(
+    "q_correlated_exists",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS cnt
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+    GROUP BY o_orderstatus
+    """,
+)
+def q_correlated_exists(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    return e.sql("""
+        SELECT o_orderstatus, COUNT(*) AS cnt
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderstatus
+    """)
+
+
+@query(
+    "q_values_join",
+    oracle="""
+    SELECT tag, COUNT(*) AS cnt
+    FROM nation
+    JOIN (VALUES (0, 'ZERO'), (1, 'ONE'), (2, 'TWO')) AS v(id, tag)
+      ON n_regionkey = id
+    GROUP BY tag
+    """,
+)
+def q_values_join(spark, sf_dir):
+    """Join against a literal relation (CHUNK_GET/EXPRESSION_GET leaf,
+    rpt_optimizer.cpp:125-133)."""
+    e = eng(spark, sf_dir)
+    v = spark.createDataFrame([(0, "ZERO"), (1, "ONE"), (2, "TWO")],
+                              ["id", "tag"])
+    j = e.table("nation").join(v, F.col("n_regionkey") == v.id)
+    return j.groupBy("tag").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "q_empty_build_side",
+    oracle=f"""
+    SELECT n_name, {REVENUE} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ATLANTIS'
+    """,
+)
+def q_empty_build_side(spark, sf_dir):
+    """Dim filter matches zero rows => always-false pushdown => empty
+    result without scanning the fact table
+    (physical_create_bf.cpp:290-297)."""
+    e = eng(spark, sf_dir)
+    j = e.reduce_and_join(
+        {"l": "lineitem", "o": "orders", "c": "customer", "n": "nation",
+         "rg": Rel("region", "r_name = 'ATLANTIS'")},
+        [("l", "o", "l_orderkey", "o_orderkey"),
+         ("o", "c", "o_custkey", "c_custkey"),
+         ("c", "n", "c_nationkey", "n_nationkey"),
+         ("n", "rg", "n_regionkey", "r_regionkey")])
+    return j.select("n_name", revenue_col().alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# aggregation variants
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_agg",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt, {sql_dsum("l_quantity", "sum_qty")},
+           MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+    FROM lineitem
+    """,
+)
+def q_scalar_agg(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    return e.table("lineitem").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"))
+
+
+@query(
+    "q_groupby_having",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    HAVING COUNT(*) > 100
+    """,
+)
+def q_groupby_having(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    return (e.table("lineitem")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 dsum(F.col("l_quantity"), "sum_qty"))
+            .filter(F.col("cnt") > 100))
+
+
+@query(
+    "q_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q_distinct(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    return e.table("customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           COUNT(DISTINCT o_orderpriority) AS n_prio
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_count_distinct(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    return (e.table("orders").groupBy("o_orderstatus")
+            .agg(F.countDistinct("o_custkey").alias("n_cust"),
+                 F.countDistinct("o_orderpriority").alias("n_prio")))
+
+
+@query("q_approx_count_distinct")  # no exact oracle: rows-only check
+def q_approx_count_distinct(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    return (e.table("orders").groupBy("o_orderstatus")
+            .agg(F.approx_count_distinct("o_custkey").alias("approx_cust")))
+
+
+_GSETS_BODY = f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           {sql_dsum("l_extendedprice", "total")}
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@query("q_grouping_sets", oracle=_GSETS_BODY)
+def q_grouping_sets(spark, sf_dir):
+    return eng(spark, sf_dir).sql(_GSETS_BODY)
+
+
+_ROLLUP_BODY = f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+           {sql_dsum("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("q_rollup", oracle=_ROLLUP_BODY)
+def q_rollup(spark, sf_dir):
+    return eng(spark, sf_dir).sql(_ROLLUP_BODY)
+
+
+_CUBE_BODY = f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+           {sql_dsum("o_totalprice", "total")}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("q_cube", oracle=_CUBE_BODY)
+def q_cube(spark, sf_dir):
+    return eng(spark, sf_dir).sql(_CUBE_BODY)
+
+
+# --------------------------------------------------------------------------
+# set operations (opaque transfer nodes, rpt_optimizer.cpp:112-119)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def q_union(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    return (e.table("customer").select(F.col("c_nationkey").alias("nk"))
+            .union(e.table("supplier").select(F.col("s_nationkey").alias("nk")))
+            .distinct())
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def q_except(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    return (e.table("customer").select(F.col("c_nationkey").alias("nk"))
+            .subtract(e.table("supplier")
+                      .select(F.col("s_nationkey").alias("nk"))))
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def q_intersect(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    return (e.table("customer").select(F.col("c_nationkey").alias("nk"))
+            .intersect(e.table("supplier")
+                       .select(F.col("s_nationkey").alias("nk"))))
+
+
+# --------------------------------------------------------------------------
+# window functions (boundary nodes, rpt_optimizer.cpp:120-124)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           RANK() OVER (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice DESC) AS price_rank
+    FROM orders
+    WHERE o_totalprice > 60000
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc())
+    return (e.table("orders").filter(F.col("o_totalprice") > 60000)
+            .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                    F.rank().over(w).alias("price_rank")))
+
+
+@query(
+    "q_window_running_sum",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) OVER (
+               PARTITION BY c_nationkey ORDER BY c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_bal
+    FROM customer
+    """,
+)
+def q_window_running_sum(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    w = (Window.partitionBy("c_nationkey").orderBy("c_custkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (e.table("customer")
+            .select("c_custkey", "c_nationkey",
+                    F.sum(F.col("c_acctbal").cast("decimal(18,4)")).over(w)
+                    .cast("double").alias("running_bal")))
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey
+               RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS nearby_total,
+           LAG(o_orderkey, 1) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey) AS prev_key
+    FROM orders
+    """,
+)
+def q_window_range_frame(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    wr = (Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+          .rangeBetween(-100, Window.currentRow))
+    wl = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    return (e.table("orders")
+            .select("o_orderkey", "o_orderstatus",
+                    F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(wr)
+                    .cast("double").alias("nearby_total"),
+                    F.lag("o_orderkey", 1).over(wl).alias("prev_key")))
+
+
+# --------------------------------------------------------------------------
+# sort / limit / top-k
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_orderby_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q_orderby_limit(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    return (e.table("lineitem")
+            .select("l_orderkey", "l_linenumber", "l_extendedprice")
+            .orderBy(F.col("l_extendedprice").desc(), "l_orderkey",
+                     "l_linenumber")
+            .limit(100))
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 3
+    """,
+)
+def q_topk(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey")
+    return (e.table("orders")
+            .select("o_orderstatus", "o_orderkey", "o_totalprice",
+                    F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 3))
+
+
+# --------------------------------------------------------------------------
+# scalar expression surface (dialect-shared SQL)
+# --------------------------------------------------------------------------
+
+_STRING_BODY = """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_up,
+           LOWER(p_type) AS type_lo,
+           SUBSTRING(p_name, 1, 8) AS name8,
+           LENGTH(p_name) AS name_len,
+           REPLACE(p_brand, 'Brand#', 'B') AS brand_short,
+           TRIM(CONCAT(p_brand, ' ')) AS brand_trim,
+           p_type LIKE '%STEEL%' AS is_steel
+    FROM part
+    WHERE p_name LIKE '%ol%'
+"""
+
+
+@query("q_string_funcs", oracle=_STRING_BODY)
+def q_string_funcs(spark, sf_dir):
+    return eng(spark, sf_dir).sql(_STRING_BODY)
+
+
+_DATE_BODY = """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS yr,
+           CAST(MONTH(o_orderdate) AS INT) AS mth,
+           CAST(DAY(o_orderdate) AS INT) AS dom,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+"""
+
+
+@query("q_date_funcs", oracle=_DATE_BODY)
+def q_date_funcs(spark, sf_dir):
+    return eng(spark, sf_dir).sql(_DATE_BODY)
+
+
+_MATH_BODY = """
+    SELECT p_partkey,
+           ABS(p_retailprice - 1000.0) AS dev,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS ceil_price,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS floor_price,
+           ROUND(SQRT(p_retailprice), 6) AS sqrt_price,
+           ROUND(LN(p_retailprice + 1.0), 6) AS ln_price,
+           CAST(p_size % 5 AS INT) AS size_mod,
+           ROUND(POWER(p_size, 2), 1) AS size_sq
+    FROM part
+    WHERE p_retailprice > 0
+"""
+
+
+@query("q_math_funcs", oracle=_MATH_BODY)
+def q_math_funcs(spark, sf_dir):
+    return eng(spark, sf_dir).sql(_MATH_BODY)
+
+
+_CASE_BODY = """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 100000 THEN 'high'
+                WHEN o_totalprice >= 30000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CASE o_orderstatus WHEN 'F' THEN 'done'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'partial' END AS status_word,
+           COALESCE(NULLIF(o_orderpriority, '1-URGENT'), 'TOP') AS prio
+    FROM orders
+"""
+
+
+@query("q_case_expr", oracle=_CASE_BODY)
+def q_case_expr(spark, sf_dir):
+    return eng(spark, sf_dir).sql(_CASE_BODY)
