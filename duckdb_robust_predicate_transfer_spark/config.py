@@ -43,8 +43,19 @@ class RPTConfig:
     #: broadcast the distinct key-set when its estimated rows are below this
     #: (otherwise let AQE decide)
     broadcast_key_rows: int = 2_000_000
+    #: min/max scan-pushdown transfer only pays when the probe scan is big:
+    #: each min/max is an eager driver-side agg job, so gate it
+    minmax_min_probe_rows: int = 100_000
+    #: backward-pass ops only into probes at least this big: reducing a
+    #: small table can't help (the final join already handles it cheaply);
+    #: reducing a big one avoids a large shuffle/hash build. The forward
+    #: cascade is exempt — it feeds reductions upward and is lazy/cheap.
+    backward_min_probe_rows: int = 100_000
     #: persist reduced tables that both feed a key-set and the final join
     persist_reduced: bool = True
+    #: ...but only when the reduced build side is big enough that
+    #: recomputing it would cost more than materializing it
+    persist_min_rows: int = 100_000
     #: collect per-step rows-in/rows-out (reference: rpt_profiling)
     profiling: bool = False
     #: print the transfer DAG (reference: rpt_display_dag)

@@ -134,6 +134,9 @@ class Engine:
         plan = plan_schedule(tree, pass_mode=cfg.pass_mode)
 
         if cfg.display_dag:
+            from .plans.dag_print import render_tree
+
+            print(render_tree(tree, rows_est))
             print(plan.describe())
 
         res = apply_transfer(dfs, rows_est, filtered, plan, cfg)

@@ -112,6 +112,12 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         if (op.build not in filtered and op.build not in reduced
                 and est > cfg.max_unfiltered_build_rows):
             continue
+        # backward ops only pay on big probes (see config); forward ops
+        # always run because they cascade reductions toward the root
+        if (op.phase == "backward"
+                and rows_est.get(op.probe, float("inf"))
+                < cfg.backward_min_probe_rows):
+            continue
 
         st = StepStat(op=op)
         if cfg.profiling:
@@ -120,14 +126,23 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
 
         # persist a build side that was itself reduced: it feeds the
         # key-set job(s) AND the final join (the analogue of CREATE_BF's
-        # materialize-and-re-emit, physical_create_bf.cpp:201-242,441-557)
-        if cfg.persist_reduced and op.build in reduced and build not in res.persisted:
+        # materialize-and-re-emit, physical_create_bf.cpp:201-242,441-557).
+        # Tiny builds recompute for free — persist only above the bound.
+        if (cfg.persist_reduced and op.build in reduced
+                and est >= cfg.persist_min_rows and build not in res.persisted):
             build = build.persist()
             dfs[op.build] = build
             res.persisted.append(build)
 
+        # min/max pushdown is an *eager* driver-side agg job per op; it
+        # only pays when the probe side is a big scan whose PushedFilters
+        # benefit (the reference pushes unconditionally because its
+        # filters are free in-process; ours cost a Spark job)
+        probe_est = rows_est.get(op.probe, float("inf"))
         empty = False
-        if cfg.filter_type in ("all", "minmax_only"):
+        if (cfg.filter_type in ("all", "minmax_only")
+                and (probe_est >= cfg.minmax_min_probe_rows
+                     or cfg.filter_type == "minmax_only")):
             n, pred = _minmax_filter(probe, build, op)
             if n == 0:
                 dfs[op.probe] = probe.where(F.lit(False))
@@ -137,11 +152,28 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 dfs[op.probe] = probe
 
         if not empty and cfg.filter_type in ("all", "bf_only"):
+            if cfg.use_sketch and est > cfg.sketch_threshold_rows:
+                # sketch tier: ship a fixed-size bitmap instead of the key
+                # set — for build sides whose distinct-key shuffle would
+                # dominate (PTBloomFilter's role, bloom_filter.cpp:27-78)
+                from .bloom import build_bloom, probe_bloom
+
+                bloom = build_bloom(build, list(op.build_cols),
+                                    est if est != float("inf") else 1e6)
+                dfs[op.probe] = probe_bloom(probe, list(op.probe_cols), bloom)
+                reduced.add(op.probe)
+                if cfg.profiling:
+                    st.rows_out = dfs[op.probe].count()
+                res.stats.append(st)
+                continue
             keys = build.select(
-                *[F.col(b).alias(p) for b, p in zip(op.build_cols, op.probe_cols)]
-            ).dropDuplicates()
+                *[F.col(b).alias(p) for b, p in zip(op.build_cols, op.probe_cols)])
             if est <= cfg.broadcast_key_rows:
+                # broadcast semi join dedups in hash-table build; an extra
+                # distinct shuffle would only slow it down
                 keys = F.broadcast(keys)
+            else:
+                keys = keys.dropDuplicates()
             dfs[op.probe] = probe.join(keys, on=list(op.probe_cols), how="left_semi")
 
         reduced.add(op.probe)

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as SURVEY.md section 7 M5 prescribes:
+
+- brute-force cosine top-k: exact baseline; one narrow projection +
+  TakeOrderedAndProject. All arithmetic in JVM higher-order functions
+  (zip_with / aggregate folds) inside whole-stage codegen.
+- LSH-bucketed ANN (random hyperplanes): deterministic pseudo-random
+  planes derived from xxhash64 so the operator needs no stored model;
+  signature = sign-bit string of plane dot products; candidates share
+  a signature band, so the join is bucketed, never all-pairs. The
+  scale path for corpus-vs-corpus matching at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(col: str = "embedding"):
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def _dot(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+
+
+def cosine_sim(a: str, b: str):
+    return F.expr(
+        f"{_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)}))")
+
+
+def brute_force_topk(corpus: DataFrame, query_vec, id_col: str = "vec_id",
+                     vec_col: str = "embedding", k: int = 10) -> DataFrame:
+    """Exact top-k by cosine against one query vector (a Python list or a
+    1-row DataFrame column). Returns (id, cos_sim) ordered desc."""
+    import json
+
+    if isinstance(query_vec, (list, tuple)):
+        qlit = F.expr(
+            "transform(from_json('" + json.dumps(list(query_vec))
+            + "', 'array<double>'), x -> x)")
+        prep = corpus.withColumn("qd", qlit)
+    else:
+        prep = corpus.crossJoin(F.broadcast(query_vec.select(
+            as_double(vec_col).alias("qd"))))
+    return (prep.withColumn("ed", as_double(vec_col))
+            .withColumn("cos_sim", cosine_sim("ed", "qd"))
+            .select(id_col, "cos_sim")
+            .orderBy(F.col("cos_sim").desc(), id_col)
+            .limit(k))
+
+
+def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         n_planes: int = 16, seed: int = 7) -> DataFrame:
+    """(id, sig: bigint) — sign bits of `n_planes` pseudo-random
+    hyperplane projections. Plane p's d-th component is derived from
+    xxhash64(d, p, seed) mapped to [-0.5, 0.5): deterministic,
+    stateless, identical on every executor — no model broadcast."""
+    comp = (f"(cast(pmod(xxhash64(d, p, {seed}), 100000) as double)"
+            f" / 100000.0 - 0.5)")
+    proj = (f"transform(sequence(0, {n_planes - 1}), p -> "
+            f" aggregate(zip_with(ed, sequence(0, size(ed) - 1),"
+            f"   (x, d) -> x * {comp}), 0D, (s, v) -> s + v))")
+    sig = (f"aggregate(zip_with({proj}, sequence(0, {n_planes - 1}),"
+           f" (v, p) -> IF(v > 0D, shiftleft(1L, p), 0L)),"
+           f" 0L, (acc, x) -> acc | x)")
+    return (df.withColumn("ed", as_double(vec_col))
+            .select(id_col, F.expr(sig).alias("sig"), vec_col))
+
+
+def lsh_topk(corpus: DataFrame, query_vec: list, id_col: str = "vec_id",
+             vec_col: str = "embedding", k: int = 10,
+             n_planes: int = 16, n_bands: int = 4, seed: int = 7
+             ) -> DataFrame:
+    """ANN top-k: probe only corpus vectors sharing at least one
+    signature band with the query. Recall < 1 by design; the candidate
+    set (not the corpus) bounds the exact-rescore cost."""
+    import json
+
+    sigs = hyperplane_signature(corpus, id_col, vec_col, n_planes, seed)
+    r = n_planes // n_bands
+    mask = (1 << r) - 1
+    bands = sigs.select(
+        id_col, vec_col,
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {n_bands - 1}),"
+            f" b -> shiftright(sig, b * {r}) & {mask}L)"
+        )).alias("band_id", "band_val"))
+
+    qdf = sigs.sparkSession.createDataFrame([(list(query_vec),)], ["qv"])
+    qsig = hyperplane_signature(
+        qdf.select(F.lit(0).alias("qid"), F.expr(
+            "transform(qv, x -> cast(x as float))").alias(vec_col)),
+        "qid", vec_col, n_planes, seed)
+    qbands = qsig.select(F.posexplode(F.expr(
+        f"transform(sequence(0, {n_bands - 1}),"
+        f" b -> shiftright(sig, b * {r}) & {mask}L)"
+    )).alias("band_id", "band_val"))
+
+    cand = (bands.join(F.broadcast(qbands), ["band_id", "band_val"])
+            .select(id_col, vec_col).distinct())
+    qlit = F.expr("from_json('" + json.dumps([float(x) for x in query_vec])
+                  + "', 'array<double>')")
+    return (cand.withColumn("ed", as_double(vec_col))
+            .withColumn("qd", qlit)
+            .withColumn("cos_sim", cosine_sim("ed", "qd"))
+            .select(id_col, "cos_sim")
+            .orderBy(F.col("cos_sim").desc(), id_col)
+            .limit(k))
+
+
+def cosine_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.95,
+                         n_planes: int = 16, n_bands: int = 4,
+                         seed: int = 7) -> DataFrame:
+    """Embedding near-duplicate pairs via hyperplane-LSH bucketing +
+    exact cosine rescore: (id_a < id_b, cos_sim >= threshold)."""
+    sigs = hyperplane_signature(df, id_col, vec_col, n_planes, seed)
+    r = n_planes // n_bands
+    mask = (1 << r) - 1
+    bands = sigs.select(
+        id_col, vec_col,
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {n_bands - 1}),"
+            f" b -> shiftright(sig, b * {r}) & {mask}L)"
+        )).alias("band_id", "band_val"))
+    a = bands.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).alias("va"), "band_id", "band_val")
+    b = bands.select(F.col(id_col).alias("id_b"),
+                     F.col(vec_col).alias("vb"), "band_id", "band_val")
+    pairs = (a.join(b, ["band_id", "band_val"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "va", "vb").distinct())
+    return (pairs
+            .withColumn("ea", F.expr("transform(va, x -> cast(x as double))"))
+            .withColumn("eb", F.expr("transform(vb, x -> cast(x as double))"))
+            .withColumn("cos_sim", cosine_sim("ea", "eb"))
+            .filter(F.col("cos_sim") >= threshold)
+            .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")))

@@ -1,0 +1,126 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY.md section 1: "Streams: None");
+these are the north-star streaming extras, built the idiomatic way:
+``readStream`` -> watermarked event-time windows -> sinks, plus a
+custom stateful sessionizer via ``applyInPandasWithState`` (the
+Spark-native form of a custom stateful operator).
+
+Batch twins live in workload/pipeline.py (q_events_tumbling,
+q_events_sessionize) — tests verify stream == batch on the same data
+using the availableNow trigger, which is exactly how a 100 TB
+backfill of the same pipeline would run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (LongType, StringType, StructField, StructType,
+                               TimestampType)
+
+RAW_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as raw nanos
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", StringType()),  # cast after read
+    StructField("props", StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based event stream (one-file-per-batch), nanos -> timestamp.
+    On a cluster this is the same code over a Kafka/file drop zone."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (spark.read.parquet(f"{sf_dir}/events.parquet").schema)
+    # the fixture is a single file; file-stream sources need a directory,
+    # so stream the sf_dir with a glob filter selecting just events
+    stream = (spark.readStream.schema(raw_schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "events.parquet")
+              .parquet(sf_dir))
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event type — late data
+    beyond the watermark is dropped deterministically."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("total_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    "event_type", "n_events", "total_value"))
+
+
+SESSION_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("start_us", LongType()),
+    StructField("last_us", LongType()),
+    StructField("n", LongType()),
+])
+
+
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: per-user session windows with a
+    gap-based close, via applyInPandasWithState (the PySpark analogue
+    of a custom streaming state machine). Emits closed sessions."""
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = -1
+            n = 0
+        closed = []
+        for pdf in pdf_iter:
+            for t in sorted(pdf["ts"].astype("int64") // 1000):
+                if start_us < 0:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((key[0], start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = t, n + 1
+        state.update((int(start_us), int(last_us), int(n)))
+        if closed:
+            yield pd.DataFrame(
+                {"user_id": [c[0] for c in closed],
+                 "session_start": pd.to_datetime([c[1] for c in closed], unit="us"),
+                 "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
+                 "n_events": [c[3] for c in closed]})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        fn, SESSION_SCHEMA, _STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout))
+
+
+def run_to_memory(df: DataFrame, name: str, timeout_s: int = 120):
+    """Execute a streaming query with the availableNow trigger into an
+    in-memory sink and return the result table (batch-equivalent run)."""
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("append" if df.isStreaming else "append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return df.sparkSession.table(name)
+
+
+def run_complete_to_memory(df: DataFrame, name: str, timeout_s: int = 120):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(timeout_s)
+    return df.sparkSession.table(name)

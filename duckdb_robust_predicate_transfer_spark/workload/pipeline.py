@@ -284,6 +284,173 @@ def q_events_sessionize(spark, sf_dir):
 
 
 @query(
+    "q_langid_heuristic",
+    oracle="""
+    SELECT doc_id, lang,
+           ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                     t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 6) AS stop_ratio,
+           CASE WHEN CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                     t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')) > 0.08
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM documents
+    """,
+)
+def q_langid_heuristic(spark, sf_dir):
+    """n-gram/stopword-ratio language ID heuristic — deterministic
+    JVM-side formula, oracle replicates it exactly."""
+    e = eng(spark, sf_dir)
+    toks = F.split(F.col("text"), " ", -1)
+    stop = F.size(F.filter(
+        toks, lambda t: t.isin("the", "a", "of", "to", "and")))
+    ratio = stop.cast("double") / F.size(toks)
+    return (e.table("documents")
+            .select("doc_id", "lang",
+                    F.round(ratio, 6).alias("stop_ratio"),
+                    F.when(ratio > 0.08, "en").otherwise("other")
+                    .alias("pred_lang")))
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 6) AS avg_word_len,
+           CASE WHEN LEN(STRING_SPLIT(text, ' ')) BETWEEN 20 AND 1000
+                 AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                     / LEN(STRING_SPLIT(text, ' ')) BETWEEN 2.0 AND 12.0
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Training-data quality gate: token count + mean word length bands
+    (the length/punct/stopword-ratio family, all scan-local)."""
+    e = eng(spark, sf_dir)
+    toks = F.split(F.col("text"), " ", -1)
+    n_tok = F.size(toks)
+    awl = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+           .cast("double") / n_tok)
+    return (e.table("documents")
+            .select("doc_id", n_tok.alias("n_tokens"),
+                    F.round(awl, 6).alias("avg_word_len"),
+                    F.when(n_tok.between(20, 1000)
+                           & awl.between(2.0, 12.0), 1).otherwise(0)
+                    .alias("passes_quality")))
+
+
+@query(
+    "q_token_regex_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_words,
+           CAST(LEN(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums
+    FROM documents
+    """,
+)
+def q_token_regex_count(spark, sf_dir):
+    """BPE-ish regex token counting (JVM regexp, no UDF)."""
+    e = eng(spark, sf_dir)
+    return (e.table("documents")
+            .select("doc_id",
+                    F.regexp_count("text", F.lit("[a-z]+")).alias("n_words"),
+                    F.regexp_count("text", F.lit("[0-9]+")).alias("n_nums")))
+
+
+@query("q_dedup_minhash")  # engine-specific hashing => rows-only check
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup candidates over documents
+    (operators/dedup.py: shingle -> 32 minhashes -> 8 bands ->
+    bucket join; never all-pairs)."""
+    from ..operators.dedup import minhash_lsh_pairs
+
+    e = eng(spark, sf_dir)
+    return minhash_lsh_pairs(e.table("documents"), "doc_id", "text",
+                             k=32, bands=8, min_est_jaccard=0.4)
+
+
+@query("q_dedup_simhash")  # rows-only
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup candidates (64-bit signatures, banded chunks)."""
+    from ..operators.dedup import simhash_pairs
+
+    e = eng(spark, sf_dir)
+    return simhash_pairs(e.table("documents"), "doc_id", "text",
+                         max_hamming=12)
+
+
+@query(
+    "q_embed_neardup_exact",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+    """,
+)
+def q_embed_neardup_exact(spark, sf_dir):
+    """Exact all-pairs cosine near-dup (the LSH variant's ground truth)."""
+    from ..operators.similarity import cosine_sim
+
+    e = eng(spark, sf_dir)
+    emb = e.table("embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.expr("transform(embedding, x -> cast(x as double))").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.expr("transform(embedding, x -> cast(x as double))").alias("eb"))
+    pairs = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cs", cosine_sim("ea", "eb"))
+             .filter(F.col("cs") >= 0.4))
+    return pairs.select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+
+
+@query("q_embed_neardup_lsh")  # recall < 1 by design => rows-only
+def q_embed_neardup_lsh(spark, sf_dir):
+    from ..operators.similarity import cosine_neardup_pairs
+
+    e = eng(spark, sf_dir)
+    return cosine_neardup_pairs(e.table("embeddings"), threshold=0.4,
+                                n_planes=16, n_bands=8)
+
+
+@query("q_ann_lsh_topk")  # approximate => rows-only
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbours for one query vector."""
+    from ..operators.similarity import lsh_topk
+
+    e = eng(spark, sf_dir)
+    qv = (e.table("embeddings").filter(F.col("vec_id") == 0)
+          .select("embedding").collect()[0][0])
+    return lsh_topk(e.table("embeddings").filter(F.col("vec_id") != 0),
+                    [float(x) for x in qv], k=10, n_planes=16, n_bands=8)
+
+
+@query("q_multimodal_features")  # stubbed decode => rows-only
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column pipeline: payload -> mapInPandas decode (stub) ->
+    feature vector + byte stats (operators/multimodal.py)."""
+    from ..operators.multimodal import documents_as_assets, extract_features
+
+    e = eng(spark, sf_dir)
+    assets = documents_as_assets(e.table("documents"))
+    feats = extract_features(assets, dim=8)
+    return (feats.groupBy("media_type")
+            .agg(F.count(F.lit(1)).alias("n_assets"),
+                 F.sum("n_bytes").alias("total_bytes"),
+                 F.round(F.avg(F.element_at("feature", 1)), 6)
+                 .alias("avg_f0")))
+
+
+@query(
     "q_events_json",
     oracle="""
     SELECT event_type,

@@ -1,0 +1,107 @@
+"""The reference's core invariant: every query returns identical results
+with the predicate-transfer rewrite enabled and disabled (README.md:21,
+enforced there by test_job_queries.sh:256 byte-diff). Needs no oracle."""
+
+import pytest
+
+from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
+
+
+def _collect_set(df):
+    return sorted([tuple(r) for r in df.collect()])
+
+
+STAR_RELS = {
+    "l": "lineitem",
+    "o": Rel("orders", "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"),
+    "c": "customer", "n": "nation",
+    "rg": Rel("region", "r_name = 'ASIA'"),
+}
+STAR_EDGES = [
+    ("l", "o", "l_orderkey", "o_orderkey"),
+    ("o", "c", "o_custkey", "c_custkey"),
+    ("c", "n", "c_nationkey", "n_nationkey"),
+    ("n", "rg", "n_regionkey", "r_regionkey"),
+]
+
+CONFIGS = [
+    RPTConfig(enabled=False),
+    RPTConfig(),  # default: both passes, all filters, largest_root
+    RPTConfig(pass_mode="forward_only"),
+    RPTConfig(filter_type="bf_only"),
+    RPTConfig(filter_type="minmax_only"),
+    RPTConfig(heuristic="join_order"),
+    RPTConfig(heuristic="join_order", flip_roots=False),
+    RPTConfig(persist_reduced=False),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS,
+                         ids=lambda c: (f"{'on' if c.enabled else 'off'}-"
+                                        f"{c.pass_mode}-{c.filter_type}-"
+                                        f"{c.heuristic}"))
+def test_star_join_all_configs_identical(spark, sf_dir, cfg):
+    e = Engine(spark, sf_dir, RPTConfig(enabled=False))
+    baseline = _collect_set(e.reduce_and_join(STAR_RELS, STAR_EDGES)
+                            .select("l_orderkey", "l_linenumber", "n_name"))
+    e2 = Engine(spark, sf_dir, cfg)
+    got = _collect_set(e2.reduce_and_join(STAR_RELS, STAR_EDGES)
+                       .select("l_orderkey", "l_linenumber", "n_name"))
+    assert got == baseline
+
+
+def test_cyclic_graph_differential(spark, sf_dir):
+    rels = {"l": "lineitem", "o": "orders", "c": "customer",
+            "s": "supplier", "n": "nation",
+            "rg": Rel("region", "r_name = 'EUROPE'")}
+    edges = [
+        ("l", "o", "l_orderkey", "o_orderkey"),
+        ("o", "c", "o_custkey", "c_custkey"),
+        ("l", "s", "l_suppkey", "s_suppkey"),
+        ("c", "n", "c_nationkey", "n_nationkey"),
+        ("s", "n", "s_nationkey", "n_nationkey"),
+        ("n", "rg", "n_regionkey", "r_regionkey"),
+    ]
+    off = Engine(spark, sf_dir, RPTConfig(enabled=False))
+    on = Engine(spark, sf_dir, RPTConfig())
+    cols = ["l_orderkey", "l_linenumber"]
+    assert (_collect_set(on.reduce_and_join(rels, edges).select(*cols))
+            == _collect_set(off.reduce_and_join(rels, edges).select(*cols)))
+
+
+def test_left_join_differential(spark, sf_dir):
+    rels = {"c": "customer", "o": Rel("orders", "o_orderstatus = 'O'"),
+            "n": Rel("nation", "n_regionkey = 2")}
+    edges = [("c", "o", "c_custkey", "o_custkey", "left"),
+             ("c", "n", "c_nationkey", "n_nationkey")]
+    off = Engine(spark, sf_dir, RPTConfig(enabled=False))
+    on = Engine(spark, sf_dir, RPTConfig())
+    cols = ["c_custkey", "o_orderkey"]
+    assert (_collect_set(on.reduce_and_join(rels, edges).select(*cols))
+            == _collect_set(off.reduce_and_join(rels, edges).select(*cols)))
+
+
+def test_empty_build_side_short_circuit(spark, sf_dir):
+    rels = dict(STAR_RELS, rg=Rel("region", "r_name = 'NOPE'"))
+    on = Engine(spark, sf_dir, RPTConfig())
+    assert on.reduce_and_join(rels, STAR_EDGES).count() == 0
+
+
+def test_single_edge_bails_out(spark, sf_dir):
+    """<=1 join edge: rewrite must not alter the plan
+    (rpt_optimizer.cpp:1592-1595)."""
+    e = Engine(spark, sf_dir, RPTConfig())
+    r = e.reduce({"l": "lineitem", "o": "orders"},
+                 [("l", "o", "l_orderkey", "o_orderkey")])
+    # untouched: same object as the raw catalog table
+    assert r["l"] is e.table("lineitem")
+
+
+def test_profiling_stats(spark, sf_dir):
+    e = Engine(spark, sf_dir, RPTConfig(profiling=True))
+    e.reduce(STAR_RELS, STAR_EDGES)
+    stats = e.last_result.stats
+    assert stats, "profiling should record per-step stats"
+    for st in stats:
+        assert st.rows_out <= st.rows_in

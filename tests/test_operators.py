@@ -1,0 +1,114 @@
+"""Operator-level tests: bloom sketch tier, dedup, similarity,
+multimodal plumbing."""
+
+import pyspark.sql.functions as F
+
+from duckdb_robust_predicate_transfer_spark.catalog import get_catalog
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    from duckdb_robust_predicate_transfer_spark.operators.bloom import (
+        build_bloom, probe_bloom)
+
+    cat = get_catalog(spark, sf_dir)
+    orders = cat.table("orders").filter(F.col("o_orderstatus") == "F")
+    li = cat.table("lineitem")
+    bloom = build_bloom(orders, ["o_orderkey"], est_rows=5000)
+    filtered = probe_bloom(li, ["l_orderkey"], bloom)
+
+    exact = li.join(orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                    "l_orderkey", "left_semi")
+    n_exact, n_bloom, n_all = exact.count(), filtered.count(), li.count()
+    # Bloom may keep extra rows (false positives) but must never drop a
+    # true match, and must actually filter something
+    assert n_exact <= n_bloom <= n_all
+    assert n_bloom < n_all
+    # with ~12 bits/key sizing the FP overshoot should be tiny
+    assert n_bloom - n_exact < max(50, 0.02 * n_all)
+
+
+def test_bloom_sketch_transfer_config(spark, sf_dir):
+    """use_sketch end-to-end through Engine.reduce must preserve results."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
+
+    rels = {"l": "lineitem",
+            "o": Rel("orders", "o_orderstatus = 'F'"),
+            "c": "customer"}
+    edges = [("l", "o", "l_orderkey", "o_orderkey"),
+             ("o", "c", "o_custkey", "c_custkey")]
+    cols = ["l_orderkey", "l_linenumber"]
+    off = Engine(spark, sf_dir, RPTConfig(enabled=False))
+    sketch = Engine(spark, sf_dir, RPTConfig(
+        use_sketch=True, sketch_threshold_rows=0, filter_type="bf_only"))
+    a = sorted(tuple(r) for r in off.reduce_and_join(rels, edges).select(*cols).collect())
+    b = sorted(tuple(r) for r in sketch.reduce_and_join(rels, edges).select(*cols).collect())
+    assert a == b
+
+
+def test_exact_dedup_keeps_one_per_hash(spark, sf_dir):
+    from duckdb_robust_predicate_transfer_spark.operators.dedup import (
+        exact_dedup)
+
+    docs = get_catalog(spark, sf_dir).table("documents")
+    # duplicate every doc under a shifted id; dedup must halve it
+    doubled = docs.union(
+        docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    kept = exact_dedup(doubled, "doc_id")
+    assert kept.count() == docs.count()
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 1_000_000
+
+
+def test_minhash_finds_prefix_duplicates(spark, sf_dir):
+    from duckdb_robust_predicate_transfer_spark.operators.dedup import (
+        minhash_lsh_pairs)
+
+    docs = get_catalog(spark, sf_dir).table("documents")
+    # plant an exact duplicate pair
+    dup = docs.limit(1).withColumn("doc_id", F.lit(9_999_999))
+    pairs = minhash_lsh_pairs(docs.union(dup), "doc_id",
+                              min_est_jaccard=0.9)
+    hits = {(r.id_a, r.id_b) for r in pairs.collect()}
+    first_id = docs.limit(1).collect()[0].doc_id
+    assert (first_id, 9_999_999) in hits
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    from duckdb_robust_predicate_transfer_spark.operators.similarity import (
+        brute_force_topk, lsh_topk)
+
+    emb = get_catalog(spark, sf_dir).table("embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in brute_force_topk(corpus, qv, k=10).collect()]
+    approx = [r.vec_id for r in
+              lsh_topk(corpus, qv, k=10, n_planes=16, n_bands=8).collect()]
+    # loose-banded LSH on this corpus should recover most of the top-10
+    assert len(set(exact) & set(approx)) >= 6
+
+
+def test_multimodal_feature_determinism(spark, sf_dir):
+    from duckdb_robust_predicate_transfer_spark.operators.multimodal import (
+        documents_as_assets, extract_features)
+
+    docs = get_catalog(spark, sf_dir).table("documents").limit(20)
+    assets = documents_as_assets(docs)
+    f1 = {r.asset_id: tuple(r.feature)
+          for r in extract_features(assets).collect()}
+    f2 = {r.asset_id: tuple(r.feature)
+          for r in extract_features(assets).collect()}
+    assert f1 == f2
+    assert all(len(v) == 8 for v in f1.values())
+
+
+def test_simhash_identical_docs_zero_hamming(spark, sf_dir):
+    from duckdb_robust_predicate_transfer_spark.operators.dedup import (
+        simhash_pairs)
+
+    docs = get_catalog(spark, sf_dir).table("documents")
+    dup = docs.limit(1).withColumn("doc_id", F.lit(9_999_999))
+    pairs = simhash_pairs(docs.union(dup), "doc_id", max_hamming=0)
+    first_id = docs.limit(1).collect()[0].doc_id
+    assert {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()} >= {
+        (first_id, 9_999_999, 0)}

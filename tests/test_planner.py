@@ -1,0 +1,121 @@
+"""Pure-Python planner unit tests — no Spark needed.
+
+The reference ships zero unit tests for its planner (SURVEY.md
+section 5); these lock the schedule semantics re-derived from
+rpt_optimizer.cpp behavior.
+"""
+
+from duckdb_robust_predicate_transfer_spark.plans.graph import (
+    JoinGraph, join_order_dag, largest_root_tree)
+from duckdb_robust_predicate_transfer_spark.plans.ir import (
+    JoinEdge, TableNode)
+from duckdb_robust_predicate_transfer_spark.plans.schedule import plan_schedule
+
+
+def star_graph():
+    nodes = [
+        TableNode("l", 60000), TableNode("o", 15000),
+        TableNode("c", 1500), TableNode("n", 25), TableNode("rg", 5),
+    ]
+    edges = [
+        JoinEdge("l", "o", ("l_orderkey",), ("o_orderkey",)),
+        JoinEdge("o", "c", ("o_custkey",), ("c_custkey",)),
+        JoinEdge("c", "n", ("c_nationkey",), ("n_nationkey",)),
+        JoinEdge("n", "rg", ("n_regionkey",), ("r_regionkey",)),
+    ]
+    return JoinGraph.build(nodes, edges)
+
+
+def test_largest_root_is_fact_table():
+    tree = largest_root_tree(star_graph())
+    # root = largest cardinality (rpt_optimizer.cpp:215-224)
+    assert tree.root == "l"
+    # chain l <- o <- c <- n <- rg => levels mirror the join path
+    assert tree.levels == [["l"], ["o"], ["c"], ["n"], ["rg"]]
+
+
+def test_forward_then_backward_schedule():
+    plan = plan_schedule(largest_root_tree(star_graph()), "both")
+    phases = [(op.phase, op.build, op.probe) for op in plan.ops]
+    # forward: deepest level first (leaves -> root), child builds
+    assert phases[:4] == [
+        ("forward", "rg", "n"), ("forward", "n", "c"),
+        ("forward", "c", "o"), ("forward", "o", "l"),
+    ]
+    # backward: root -> leaves, parent builds
+    assert phases[4:] == [
+        ("backward", "l", "o"), ("backward", "o", "c"),
+        ("backward", "c", "n"), ("backward", "n", "rg"),
+    ]
+
+
+def test_forward_only_mode():
+    plan = plan_schedule(largest_root_tree(star_graph()), "forward_only")
+    assert all(op.phase == "forward" for op in plan.ops)
+    assert len(plan.ops) == 4
+
+
+def test_cycle_drops_exactly_one_edge():
+    nodes = [TableNode("l", 60000), TableNode("o", 15000),
+             TableNode("c", 1500), TableNode("s", 100), TableNode("n", 25)]
+    edges = [
+        JoinEdge("l", "o", ("l_orderkey",), ("o_orderkey",)),
+        JoinEdge("o", "c", ("o_custkey",), ("c_custkey",)),
+        JoinEdge("l", "s", ("l_suppkey",), ("s_suppkey",)),
+        JoinEdge("c", "n", ("c_nationkey",), ("n_nationkey",)),
+        JoinEdge("s", "n", ("s_nationkey",), ("n_nationkey",)),
+    ]
+    g = JoinGraph.build(nodes, edges)
+    tree = largest_root_tree(g)
+    # spanning tree over 5 nodes has 4 edges; one cycle edge dropped
+    assert len(tree.parent) == 4
+    assert tree.root == "l"
+
+
+def test_multicolumn_edge_preferred():
+    # weight = #cols wins over cardinality tie-break
+    # (graph_manager.hpp:37-43)
+    nodes = [TableNode("a", 100), TableNode("b", 50), TableNode("c", 10)]
+    edges = [
+        JoinEdge("a", "b", ("x",), ("x",)),
+        JoinEdge("a", "c", ("x", "y"), ("x", "y")),
+        JoinEdge("b", "c", ("y",), ("y",)),
+    ]
+    tree = largest_root_tree(JoinGraph.build(nodes, edges))
+    # a-c (weight 2) must be a tree edge
+    tree_pairs = {frozenset((p, ch)) for ch, (p, _) in tree.parent.items()}
+    assert frozenset(("a", "c")) in tree_pairs
+
+
+def test_left_join_preserved_side_never_probed():
+    nodes = [TableNode("c", 1500), TableNode("o", 15000), TableNode("n", 25)]
+    edges = [
+        JoinEdge("c", "o", ("c_custkey",), ("o_custkey",), how="left"),
+        JoinEdge("c", "n", ("c_nationkey",), ("n_nationkey",)),
+    ]
+    plan = plan_schedule(largest_root_tree(JoinGraph.build(nodes, edges)))
+    for op in plan.ops:
+        if {op.build, op.probe} == {"c", "o"}:
+            # only the non-preserved side (o) may be filtered
+            assert op.probe == "o", op
+
+
+def test_ineligible_join_excluded():
+    nodes = [TableNode("a", 10), TableNode("b", 5)]
+    edges = [JoinEdge("a", "b", ("x",), ("x",), how="left_anti")]
+    g = JoinGraph.build(nodes, edges)
+    assert g.n_edges() == 0
+
+
+def test_join_order_heuristic_roots_at_largest():
+    tree = join_order_dag(star_graph(), flip_roots=True)
+    assert tree.root == "l"
+    assert len(tree.parent) == 4
+
+
+def test_full_reduction_property():
+    """Forward+backward over a tree must touch every table at least once
+    (the Yannakakis full-reduction property)."""
+    plan = plan_schedule(largest_root_tree(star_graph()), "both")
+    probed = {op.probe for op in plan.ops}
+    assert probed == {"l", "o", "c", "n", "rg"}

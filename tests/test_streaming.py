@@ -1,0 +1,37 @@
+"""Streaming == batch equivalence on the same events data (availableNow
+trigger = the backfill path)."""
+
+import pyspark.sql.functions as F
+
+from duckdb_robust_predicate_transfer_spark.streaming.ops import (
+    read_event_stream, run_complete_to_memory, windowed_event_counts)
+
+
+def test_windowed_counts_stream_equals_batch(spark, sf_dir):
+    stream = read_event_stream(spark, sf_dir)
+    got = run_complete_to_memory(
+        windowed_event_counts(stream), "win_counts_test")
+    rows = {tuple(r) for r in
+            got.select("window_start", "event_type", "n_events").collect()}
+
+    from duckdb_robust_predicate_transfer_spark.catalog import get_catalog
+    ev = get_catalog(spark, sf_dir).table("events")
+    batch = (ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"),
+                        "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    expect = {tuple(r) for r in batch.collect()}
+    assert rows == expect
+
+
+def test_sessionize_stream_runs(spark, sf_dir):
+    from duckdb_robust_predicate_transfer_spark.streaming.ops import (
+        run_to_memory, sessionize_stream)
+
+    stream = read_event_stream(spark, sf_dir)
+    got = run_to_memory(sessionize_stream(stream), "sessions_test")
+    # append mode emits only *closed* sessions; with a single file batch
+    # the tail sessions stay open, so we only sanity-check shape/ordering
+    rows = got.collect()
+    for r in rows:
+        assert r.session_end >= r.session_start
+        assert r.n_events >= 1
