@@ -40,22 +40,34 @@ class RPTConfig:
     #: skip transfer from build sides estimated larger than this unless they
     #: carry a filter (bounded-downside gate; the Robust paper's point)
     max_unfiltered_build_rows: int = 50_000_000
+    #: transfer only into probes at least this big: each op costs a real
+    #: Spark exchange, which a small probe's final join already beats.
+    #: Scale-adaptive: at cluster scale every big table clears the bar and
+    #: the full cascade engages; at toy scale only paying ops survive.
+    #: 0 = reference-faithful (always transfer when >1 edge).
+    min_probe_rows: int = 50_000
+    #: skip ops whose build side is neither filtered nor already reduced —
+    #: such a build's key set spans its whole domain and can only remove
+    #: FK-orphan probe rows, rarely worth a distributed semi join
+    require_selective_build: bool = True
     #: broadcast the distinct key-set when its estimated rows are below this
     #: (otherwise let AQE decide)
     broadcast_key_rows: int = 2_000_000
     #: min/max scan-pushdown transfer only pays when the probe scan is big:
-    #: each min/max is an eager driver-side agg job, so gate it
-    minmax_min_probe_rows: int = 100_000
+    #: each min/max is an eager driver-side agg job (fixed ~0.1-0.3 s of
+    #: latency) whose payoff is Parquet row-group pruning on the probe
+    #: scan — a win only when that scan is huge
+    minmax_min_probe_rows: int = 5_000_000
     #: backward-pass ops only into probes at least this big: reducing a
     #: small table can't help (the final join already handles it cheaply);
     #: reducing a big one avoids a large shuffle/hash build. The forward
     #: cascade is exempt — it feeds reductions upward and is lazy/cheap.
-    backward_min_probe_rows: int = 100_000
+    backward_min_probe_rows: int = 1_000_000
     #: persist reduced tables that both feed a key-set and the final join
     persist_reduced: bool = True
     #: ...but only when the reduced build side is big enough that
     #: recomputing it would cost more than materializing it
-    persist_min_rows: int = 100_000
+    persist_min_rows: int = 5_000_000
     #: collect per-step rows-in/rows-out (reference: rpt_profiling)
     profiling: bool = False
     #: print the transfer DAG (reference: rpt_display_dag)

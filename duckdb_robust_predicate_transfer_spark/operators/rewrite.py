@@ -106,14 +106,20 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         build, probe = dfs[op.build], dfs[op.probe]
         est = rows_est.get(op.build, float("inf"))
 
-        # bounded-downside gate: an unfiltered, never-reduced, huge build
-        # side cannot remove much from the probe — skip (the robustness
-        # margin the reference lacks; it always applies when >1 edge)
+        # bounded-downside gates — the robustness margin the reference
+        # lacks (it always applies when >1 edge; its in-process filters
+        # are ~free, ours cost real Spark exchanges):
+        # 1. an unfiltered, never-reduced build side only removes
+        #    FK-orphan probe rows — skip unless allowed
         if (op.build not in filtered and op.build not in reduced
-                and est > cfg.max_unfiltered_build_rows):
+                and (cfg.require_selective_build
+                     or est > cfg.max_unfiltered_build_rows)):
             continue
-        # backward ops only pay on big probes (see config); forward ops
-        # always run because they cascade reductions toward the root
+        # 2. transfer only into probes big enough to repay an exchange
+        if rows_est.get(op.probe, float("inf")) < cfg.min_probe_rows:
+            continue
+        # 3. backward ops need an even bigger probe: the forward pass
+        #    already reduced the root, so the marginal win is smaller
         if (op.phase == "backward"
                 and rows_est.get(op.probe, float("inf"))
                 < cfg.backward_min_probe_rows):

@@ -19,10 +19,21 @@ from ..engine import Engine, Rel  # noqa: F401  (re-exported for queries)
 from ..config import RPTConfig
 
 
+#: process-wide config override for declared queries (bench ablations:
+#: time the same query surface with the rewrite on vs off, the
+#: reference's test_job_queries.sh baseline/rpt protocol)
+_CONFIG_OVERRIDE: RPTConfig | None = None
+
+
+def set_default_config(config: RPTConfig | None) -> None:
+    global _CONFIG_OVERRIDE
+    _CONFIG_OVERRIDE = config
+
+
 def eng(spark: SparkSession, sf_dir: str, config: RPTConfig | None = None) -> Engine:
     # deterministic timestamp collection vs the DuckDB oracle
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return Engine(spark, sf_dir, config)
+    return Engine(spark, sf_dir, config if config is not None else _CONFIG_OVERRIDE)
 
 
 def dsum(col: Column, alias: str) -> Column:

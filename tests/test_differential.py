@@ -25,15 +25,22 @@ STAR_EDGES = [
     ("n", "rg", "n_regionkey", "r_regionkey"),
 ]
 
+#: zeroed cost gates => reference-faithful "always transfer" behavior,
+#: so the full cascade is exercised even on sf0.001's tiny tables
+FORCE = dict(min_probe_rows=0, require_selective_build=False,
+             backward_min_probe_rows=0, minmax_min_probe_rows=0,
+             persist_min_rows=0)
+
 CONFIGS = [
     RPTConfig(enabled=False),
-    RPTConfig(),  # default: both passes, all filters, largest_root
-    RPTConfig(pass_mode="forward_only"),
-    RPTConfig(filter_type="bf_only"),
-    RPTConfig(filter_type="minmax_only"),
-    RPTConfig(heuristic="join_order"),
-    RPTConfig(heuristic="join_order", flip_roots=False),
-    RPTConfig(persist_reduced=False),
+    RPTConfig(),  # default: scale-adaptive gates (may skip ops at sf0.001)
+    RPTConfig(**FORCE),  # full forward+backward cascade, all filter types
+    RPTConfig(pass_mode="forward_only", **FORCE),
+    RPTConfig(filter_type="bf_only", **FORCE),
+    RPTConfig(filter_type="minmax_only", **FORCE),
+    RPTConfig(heuristic="join_order", **FORCE),
+    RPTConfig(heuristic="join_order", flip_roots=False, **FORCE),
+    RPTConfig(persist_reduced=False, **FORCE),
 ]
 
 
@@ -64,7 +71,7 @@ def test_cyclic_graph_differential(spark, sf_dir):
         ("n", "rg", "n_regionkey", "r_regionkey"),
     ]
     off = Engine(spark, sf_dir, RPTConfig(enabled=False))
-    on = Engine(spark, sf_dir, RPTConfig())
+    on = Engine(spark, sf_dir, RPTConfig(**FORCE))
     cols = ["l_orderkey", "l_linenumber"]
     assert (_collect_set(on.reduce_and_join(rels, edges).select(*cols))
             == _collect_set(off.reduce_and_join(rels, edges).select(*cols)))
@@ -76,7 +83,7 @@ def test_left_join_differential(spark, sf_dir):
     edges = [("c", "o", "c_custkey", "o_custkey", "left"),
              ("c", "n", "c_nationkey", "n_nationkey")]
     off = Engine(spark, sf_dir, RPTConfig(enabled=False))
-    on = Engine(spark, sf_dir, RPTConfig())
+    on = Engine(spark, sf_dir, RPTConfig(**FORCE))
     cols = ["c_custkey", "o_orderkey"]
     assert (_collect_set(on.reduce_and_join(rels, edges).select(*cols))
             == _collect_set(off.reduce_and_join(rels, edges).select(*cols)))
@@ -84,7 +91,7 @@ def test_left_join_differential(spark, sf_dir):
 
 def test_empty_build_side_short_circuit(spark, sf_dir):
     rels = dict(STAR_RELS, rg=Rel("region", "r_name = 'NOPE'"))
-    on = Engine(spark, sf_dir, RPTConfig())
+    on = Engine(spark, sf_dir, RPTConfig(**FORCE))
     assert on.reduce_and_join(rels, STAR_EDGES).count() == 0
 
 
@@ -99,7 +106,7 @@ def test_single_edge_bails_out(spark, sf_dir):
 
 
 def test_profiling_stats(spark, sf_dir):
-    e = Engine(spark, sf_dir, RPTConfig(profiling=True))
+    e = Engine(spark, sf_dir, RPTConfig(profiling=True, **FORCE))
     e.reduce(STAR_RELS, STAR_EDGES)
     stats = e.last_result.stats
     assert stats, "profiling should record per-step stats"
