@@ -140,6 +140,10 @@ class Engine:
             print(plan.describe())
 
         res = apply_transfer(dfs, rows_est, filtered, plan, cfg)
+        if cfg.profiling:
+            # the reference prints its per-op summary at QueryEnd when
+            # rpt_profiling is set (rpt_profiling.hpp:114-216)
+            print(res.format_profile())
         self.last_result = res
         return res.dfs
 

@@ -66,6 +66,32 @@ class TransferResult:
                 pass
         self.persisted.clear()
 
+    def format_profile(self) -> str:
+        """Per-step and per-pass reduction summary — the analogue of the
+        reference's rpt_profiling printed table (rpt_profiling.hpp:
+        114-216: per-op rows in/out, forward/backward rollups with %
+        rows removed). Meaningful only when profiling was enabled."""
+        lines = ["step  phase     build -> probe           build_rows"
+                 "     rows_in    rows_out   removed"]
+        totals = {"forward": [0, 0], "backward": [0, 0]}
+        for i, st in enumerate(self.stats):
+            op = st.op
+            pct = ""
+            if st.rows_in > 0 and st.rows_out >= 0:
+                totals[op.phase][0] += st.rows_in
+                totals[op.phase][1] += st.rows_out
+                pct = f"{100.0 * (st.rows_in - st.rows_out) / st.rows_in:6.2f}%"
+            edge = f"{op.build}({','.join(op.build_cols)}) -> {op.probe}"
+            lines.append(
+                f"{i:>4}  {op.phase:<8}  {edge:<24} {st.build_rows:>10}"
+                f"  {st.rows_in:>10}  {st.rows_out:>10}   {pct}")
+        for phase, (tin, tout) in totals.items():
+            if tin:
+                lines.append(
+                    f"      {phase:<8}  TOTAL{'':<20} {'':>10}  {tin:>10}"
+                    f"  {tout:>10}   {100.0 * (tin - tout) / tin:6.2f}%")
+        return "\n".join(lines)
+
 
 def _minmax_filter(probe: DataFrame, build: DataFrame, op: TransferOp):
     """Compute per-column min/max on the build side (one small agg job)
@@ -101,6 +127,16 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
     dfs = dict(dfs)
     res = TransferResult(dfs=dfs, plan=plan)
     reduced: set = set()
+    #: (build alias, build_cols, reduction epoch) -> keys DataFrame; when
+    #: one build side feeds several probes on the same columns (a column
+    #: equivalence class, e.g. nation.n_nationkey into both customer and
+    #: supplier), build the key set once and share the broadcast — the
+    #: reference's one-CREATE-per-class broadcast, rpt_optimizer.cpp:
+    #: 1070-1158. The epoch (number of reductions applied to the build so
+    #: far) keys the cache so a later, further-reduced build is not
+    #: served a stale key set.
+    epochs: dict = {}
+    keys_cache: dict = {}
 
     for op in plan.ops:
         build, probe = dfs[op.build], dfs[op.probe]
@@ -172,17 +208,29 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                     st.rows_out = dfs[op.probe].count()
                 res.stats.append(st)
                 continue
-            keys = build.select(
-                *[F.col(b).alias(p) for b, p in zip(op.build_cols, op.probe_cols)])
-            if est <= cfg.broadcast_key_rows:
-                # broadcast semi join dedups in hash-table build; an extra
-                # distinct shuffle would only slow it down
-                keys = F.broadcast(keys)
+            ck = (op.build, op.build_cols, epochs.get(op.build, 0))
+            cached = keys_cache.get(ck)
+            if cached is None:
+                keys = build.select(
+                    *[F.col(b).alias(f"__k{i}")
+                      for i, b in enumerate(op.build_cols)])
+                if est <= cfg.broadcast_key_rows:
+                    # broadcast semi join dedups in hash-table build; an
+                    # extra distinct shuffle would only slow it down
+                    keys = F.broadcast(keys)
+                else:
+                    keys = keys.dropDuplicates()
+                keys_cache[ck] = keys
             else:
-                keys = keys.dropDuplicates()
-            dfs[op.probe] = probe.join(keys, on=list(op.probe_cols), how="left_semi")
+                keys = cached
+            cond = None
+            for i, p in enumerate(op.probe_cols):
+                c = F.col(p) == F.col(f"__k{i}")
+                cond = c if cond is None else (cond & c)
+            dfs[op.probe] = probe.join(keys, cond, "left_semi")
 
         reduced.add(op.probe)
+        epochs[op.probe] = epochs.get(op.probe, 0) + 1
         if cfg.profiling:
             st.rows_out = dfs[op.probe].count()
         res.stats.append(st)

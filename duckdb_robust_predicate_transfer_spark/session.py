@@ -41,5 +41,9 @@ def get_spark(app_name: str = "drpt-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("DRPT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # saved (bucketed) tables land outside the repo; static conf, so
+        # it must be set at session build
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("DRPT_WAREHOUSE_DIR", "/tmp/drpt-warehouse"))
     )
     return b.getOrCreate()
