@@ -67,7 +67,7 @@ def main():
         print(f"# {name}: {times[name]}s", file=sys.stderr, flush=True)
 
     extra = {}
-    if os.environ.get("BENCH_ABLATION"):
+    if os.environ.get("BENCH_ABLATION", "1") != "0":
         # the reference's baseline-vs-rpt timing protocol
         # (test_job_queries.sh:266-281): re-time the transfer-exercising
         # queries with the rewrite disabled, report per-query speedups +

@@ -469,3 +469,45 @@ def q_events_json(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.get_json_object("props", "$.k").cast("bigint"))
                  .cast("bigint").alias("sum_k")))
+
+
+@query("q_ann_ivf_topk")  # approximate (hash-sampled centroids) => rows-only
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbours: hash-sampled centroids,
+    inverted-list assignment, nprobe-bounded scan + exact rescore
+    (operators/similarity.py:ivf_topk)."""
+    from ..operators.similarity import ivf_topk
+
+    e = eng(spark, sf_dir)
+    qv = (e.table("embeddings").filter(F.col("vec_id") == 0)
+          .select("embedding").collect()[0][0])
+    return ivf_topk(e.table("embeddings").filter(F.col("vec_id") != 0),
+                    [float(x) for x in qv], k=10, n_centroids=16, nprobe=4)
+
+
+@query(
+    "q_skew_salted_join",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_skew_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join (operators/skew.py): hot probe keys
+    scatter over 8 salts, build rows replicate only for those keys —
+    must be result-identical to the plain join, which is the oracle."""
+    from ..operators.skew import detect_hot_keys, salted_join
+
+    e = eng(spark, sf_dir)
+    l, o = e.table("lineitem"), e.table("orders")
+    hot = detect_hot_keys(l, "l_orderkey", top_n=5, min_share=0.0005)
+    j = salted_join(l, o.select("o_orderkey", "o_orderpriority"),
+                    "l_orderkey", "o_orderkey",
+                    hot_keys=hot or None, n_salts=8)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+                 .cast("double").alias("sum_qty")))

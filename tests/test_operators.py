@@ -112,3 +112,45 @@ def test_simhash_identical_docs_zero_hamming(spark, sf_dir):
     first_id = docs.limit(1).collect()[0].doc_id
     assert {(r.id_a, r.id_b, r.hamming) for r in pairs.collect()} >= {
         (first_id, 9_999_999, 0)}
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from duckdb_robust_predicate_transfer_spark.operators.skew import (
+        detect_hot_keys, salted_join)
+
+    l = get_catalog(spark, sf_dir).table("lineitem")
+    o = get_catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey", "o_orderpriority")
+    hot = detect_hot_keys(l, "l_orderkey", top_n=5, min_share=0.0005)
+    salted = salted_join(l, o, "l_orderkey", "o_orderkey",
+                         hot_keys=hot or None, n_salts=8)
+    plain = l.join(o, l.l_orderkey == o.o_orderkey)
+    a = sorted(map(tuple, salted.select("l_orderkey", "l_linenumber",
+                                        "o_orderpriority").collect()))
+    b = sorted(map(tuple, plain.select("l_orderkey", "l_linenumber",
+                                       "o_orderpriority").collect()))
+    assert a == b
+
+    # uniform scatter variant (no hot list) must also be identical
+    salted_all = salted_join(l, o, "l_orderkey", "o_orderkey",
+                             hot_keys=None, n_salts=4)
+    c = sorted(map(tuple, salted_all.select("l_orderkey", "l_linenumber",
+                                            "o_orderpriority").collect()))
+    assert c == b
+
+
+def test_ivf_topk_overlaps_brute_force(spark, sf_dir):
+    from duckdb_robust_predicate_transfer_spark.operators.similarity import (
+        brute_force_topk, ivf_topk)
+
+    emb = get_catalog(spark, sf_dir).table("embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in
+             brute_force_topk(corpus, qv, k=10).collect()]
+    approx = ivf_topk(corpus, qv, k=10, n_centroids=8, nprobe=4)
+    rows = approx.collect()
+    assert len(rows) == 10
+    # nprobe=half the lists => decent recall on the fixture
+    assert len(set(r.vec_id for r in rows) & set(exact)) >= 3
