@@ -124,3 +124,25 @@ def run_complete_to_memory(df: DataFrame, name: str, timeout_s: int = 120):
          .outputMode("complete").trigger(availableNow=True).start())
     q.awaitTermination(timeout_s)
     return df.sparkSession.table(name)
+
+
+def dedup_stream(events: DataFrame, keys: list | None = None,
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps a key's state only until the
+    watermark passes it, so state size tracks the watermark window, not
+    the stream's lifetime — the only viable contract for an unbounded
+    100 TB/day stream. Batch twin: dropDuplicates on the same keys."""
+    keys = keys or ["event_id"]
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
+def enriched_stream(events: DataFrame, dim: DataFrame,
+                    on: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich the event stream against a slowly
+    changing dimension table. The static side is re-read per
+    micro-batch (picking up dim updates); Spark broadcasts it when
+    small — the streaming analogue of the engine's broadcast
+    dimension joins."""
+    return events.join(dim, on=on, how="left")

@@ -35,3 +35,36 @@ def test_sessionize_stream_runs(spark, sf_dir):
     for r in rows:
         assert r.session_end >= r.session_start
         assert r.n_events >= 1
+
+
+def test_dedup_stream_removes_duplicates(spark, sf_dir):
+    from duckdb_robust_predicate_transfer_spark.streaming.ops import (
+        dedup_stream, run_to_memory)
+
+    stream = read_event_stream(spark, sf_dir)
+    got = run_to_memory(dedup_stream(stream), "dedup_test")
+    n = got.count()
+
+    from duckdb_robust_predicate_transfer_spark.catalog import get_catalog
+    ev = get_catalog(spark, sf_dir).table("events")
+    assert n == ev.dropDuplicates(["event_id"]).count()
+    assert got.groupBy("event_id").count().filter("count > 1").count() == 0
+
+
+def test_enriched_stream_matches_batch_join(spark, sf_dir):
+    from duckdb_robust_predicate_transfer_spark.catalog import get_catalog
+    from duckdb_robust_predicate_transfer_spark.streaming.ops import (
+        enriched_stream, run_to_memory)
+
+    cust = (get_catalog(spark, sf_dir).table("customer")
+            .select(F.col("c_custkey").alias("user_id"), "c_mktsegment"))
+    stream = read_event_stream(spark, sf_dir)
+    got = run_to_memory(
+        enriched_stream(stream, cust).select("event_id", "c_mktsegment"),
+        "enrich_test")
+
+    ev = get_catalog(spark, sf_dir).table("events")
+    expect = (ev.join(cust, on="user_id", how="left")
+              .select("event_id", "c_mktsegment"))
+    assert (sorted(map(tuple, got.collect()))
+            == sorted(map(tuple, expect.collect())))
