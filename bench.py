@@ -22,6 +22,7 @@ import time
 
 HEADLINE = [
     "q_star_join_rpt",
+    "q_job_style_wide",
     "q_snowflake_agg",
     "q_cyclic_join_graph",
     "q_multi_col_join",
@@ -75,9 +76,10 @@ def main():
         from duckdb_robust_predicate_transfer_spark.config import RPTConfig
         from duckdb_robust_predicate_transfer_spark.workload.common import (
             set_default_config)
-        rpt_queries = [q for q in ("q_star_join_rpt", "q_snowflake_agg",
-                                   "q_cyclic_join_graph", "q_multi_col_join",
-                                   "q_in_subquery_mark") if q in times]
+        rpt_queries = [q for q in ("q_star_join_rpt", "q_job_style_wide",
+                                   "q_snowflake_agg", "q_cyclic_join_graph",
+                                   "q_multi_col_join", "q_in_subquery_mark")
+                       if q in times]
         try:
             speedup = {}
             for name in rpt_queries:

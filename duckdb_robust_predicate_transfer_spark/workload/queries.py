@@ -743,3 +743,58 @@ _CASE_BODY = """
 @query("q_case_expr", oracle=_CASE_BODY)
 def q_case_expr(spark, sf_dir):
     return eng(spark, sf_dir).sql(_CASE_BODY)
+
+
+@query(
+    "q_job_style_wide",
+    oracle=f"""
+    SELECT cn.n_name AS cust_nation, COUNT(*) AS cnt,
+           {sql_dsum(REVENUE, "revenue")}
+    FROM lineitem
+    JOIN orders    ON l_orderkey = o_orderkey
+    JOIN customer  ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    JOIN part      ON l_partkey = p_partkey
+    WHERE cr.r_name = 'ASIA' AND sr.r_name = 'EUROPE'
+      AND p_size < 20
+      AND o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+    GROUP BY cn.n_name
+    """,
+)
+def q_job_style_wide(spark, sf_dir):
+    """JOB-regime width: 9 relations / 8 edges with nation and region
+    joined twice through disjoint alias chains (customer side vs
+    supplier side) — the planner must treat the two occurrences as
+    distinct transfer units, like the reference's per-table-index
+    registration does (table_manager.cpp:41-62)."""
+    e = eng(spark, sf_dir)
+    sn = e.table("nation").select(
+        F.col("n_nationkey").alias("sn_nationkey"),
+        F.col("n_regionkey").alias("sn_regionkey"))
+    sr = e.table("region").select(
+        F.col("r_regionkey").alias("sr_regionkey"),
+        F.col("r_name").alias("sr_name"))
+    j = e.reduce_and_join(
+        {"l": "lineitem",
+         "o": Rel("orders",
+                  "o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'"),
+         "c": "customer", "cn": "nation",
+         "cr": Rel("region", "r_name = 'ASIA'"),
+         "s": "supplier",
+         "sn": Rel("sn", df=sn),
+         "sr": Rel("sr", df=sr, filter="sr_name = 'EUROPE'"),
+         "p": Rel("part", "p_size < 20")},
+        [("l", "o", "l_orderkey", "o_orderkey"),
+         ("o", "c", "o_custkey", "c_custkey"),
+         ("c", "cn", "c_nationkey", "n_nationkey"),
+         ("cn", "cr", "n_regionkey", "r_regionkey"),
+         ("l", "s", "l_suppkey", "s_suppkey"),
+         ("s", "sn", "s_nationkey", "sn_nationkey"),
+         ("sn", "sr", "sn_regionkey", "sr_regionkey"),
+         ("l", "p", "l_partkey", "p_partkey")])
+    return j.groupBy(F.col("n_name").alias("cust_nation")).agg(
+        F.count(F.lit(1)).alias("cnt"), dsum(revenue_col(), "revenue"))

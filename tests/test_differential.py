@@ -112,3 +112,21 @@ def test_profiling_stats(spark, sf_dir):
     assert stats, "profiling should record per-step stats"
     for st in stats:
         assert st.rows_out <= st.rows_in
+
+
+def test_wide_join_graph_differential(spark, sf_dir):
+    """9-relation JOB-style graph with nation/region each joined twice
+    through disjoint alias chains: forced full cascade must equal off."""
+    from duckdb_robust_predicate_transfer_spark.workload.common import (
+        set_default_config)
+    from duckdb_robust_predicate_transfer_spark.workload.queries import (
+        q_job_style_wide)
+
+    try:
+        set_default_config(RPTConfig(enabled=False))
+        off = _collect_set(q_job_style_wide(spark, sf_dir))
+        set_default_config(RPTConfig(**FORCE))
+        on = _collect_set(q_job_style_wide(spark, sf_dir))
+    finally:
+        set_default_config(None)
+    assert on == off
