@@ -19,9 +19,9 @@ Catalyst/Tungsten/AQE execute (SURVEY.md section 7).
 
 from .config import RPTConfig
 from .catalog import Catalog
-from .engine import Engine
+from .engine import Engine, Rel
 from .plans.ir import JoinEdge, TableNode
 
-__all__ = ["RPTConfig", "Catalog", "Engine", "JoinEdge", "TableNode"]
+__all__ = ["RPTConfig", "Catalog", "Engine", "Rel", "JoinEdge", "TableNode"]
 
 __version__ = "0.1.0"
