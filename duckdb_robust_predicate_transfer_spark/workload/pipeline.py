@@ -511,3 +511,71 @@ def q_skew_salted_join(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(F.col("l_quantity").cast("decimal(18,4)"))
                  .cast("double").alias("sum_qty")))
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+         p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT COUNT(DISTINCT v.user_id) AS users_viewed,
+           COUNT(DISTINCT CASE WHEN conv THEN v.user_id END)
+               AS users_converted
+    FROM (SELECT v.user_id,
+                 EXISTS (SELECT 1 FROM p
+                         WHERE p.user_id = v.user_id
+                           AND p.ts >= v.ts
+                           AND p.ts <= v.ts + INTERVAL 1 HOUR) AS conv
+          FROM v) v(user_id, conv)
+    """,
+)
+def q_events_funnel(spark, sf_dir):
+    """View -> purchase-within-1h conversion funnel: per-user windowed
+    self-join (shuffle keyed on user_id — the co-partitioning a funnel
+    needs at any scale), semi-join for the EXISTS."""
+    e = eng(spark, sf_dir)
+    ev = e.table("events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("user_id", F.col("ts").alias("v_ts")))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"),
+                    F.col("ts").alias("p_ts")))
+    conv = views.join(
+        buys,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi").select("user_id").distinct()
+    return (views.agg(F.count_distinct("user_id").alias("users_viewed"))
+            .crossJoin(conv.agg(
+                F.count_distinct("user_id").alias("users_converted"))))
+
+
+@query(
+    "q_events_retention",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+                   AS day FROM events)
+    SELECT a.day AS cohort_day, COUNT(DISTINCT a.user_id) AS n_users,
+           COUNT(DISTINCT b.user_id) AS retained_next_day
+    FROM d a LEFT JOIN d b
+        ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+    GROUP BY a.day
+    ORDER BY a.day
+    """,
+)
+def q_events_retention(spark, sf_dir):
+    """Day-over-day retention: distinct active days per user, self-joined
+    one day apart — the cohort-retention shape, co-partitioned on
+    user_id so the self-join shuffles each side once at any scale."""
+    e = eng(spark, sf_dir)
+    d = (e.table("events")
+         .select("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+         .distinct())
+    b = d.select(F.col("user_id").alias("b_user"), F.col("day").alias("b_day"))
+    j = d.join(b, (F.col("user_id") == F.col("b_user"))
+               & (F.col("b_day") == F.date_add(F.col("day"), 1)), "left")
+    return (j.groupBy(F.col("day").alias("cohort_day"))
+            .agg(F.count_distinct("user_id").alias("n_users"),
+                 F.count_distinct("b_user").alias("retained_next_day"))
+            .orderBy("cohort_day"))
