@@ -798,3 +798,28 @@ def q_job_style_wide(spark, sf_dir):
          ("l", "p", "l_partkey", "p_partkey")])
     return j.groupBy(F.col("n_name").alias("cust_nation")).agg(
         F.count(F.lit(1)).alias("cnt"), dsum(revenue_col(), "revenue"))
+
+
+@query(
+    "q_full_outer_join",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(c_custkey) AS n_with_cust,
+           COUNT(o_orderkey) AS n_with_order
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+    FULL JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        ON c_custkey = o_custkey
+    """,
+)
+def q_full_outer_join(spark, sf_dir):
+    """FULL OUTER join: ineligible for transfer on BOTH sides (neither
+    side's rows may be dropped — ir.ELIGIBLE_JOINS excludes it, like
+    the reference's join-type allowlist, rpt_optimizer.cpp:53-57);
+    must still execute correctly through the engine."""
+    e = eng(spark, sf_dir)
+    c = e.table("customer").filter(F.col("c_acctbal") > 9000)
+    o = e.table("orders").filter(F.col("o_orderstatus") == "P")
+    j = c.join(o, F.col("c_custkey") == F.col("o_custkey"), "full")
+    return j.agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count("c_custkey").alias("n_with_cust"),
+                 F.count("o_orderkey").alias("n_with_order"))

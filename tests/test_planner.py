@@ -119,3 +119,16 @@ def test_full_reduction_property():
     plan = plan_schedule(largest_root_tree(star_graph()), "both")
     probed = {op.probe for op in plan.ops}
     assert probed == {"l", "o", "c", "n", "rg"}
+
+
+def test_dag_render():
+    from duckdb_robust_predicate_transfer_spark.plans.dag_print import (
+        fmt_card, render_tree)
+
+    tree = largest_root_tree(star_graph())
+    out = render_tree(tree, {"l": 60000, "o": 15000, "c": 1500,
+                             "n": 25, "rg": 5})
+    for alias in ("l", "o", "c", "n", "rg"):
+        assert f"+- {alias} " in out
+    assert "60.0K" in out and "[l_orderkey = o_orderkey]" in out
+    assert fmt_card(2_500_000_000) == "2.5B"
