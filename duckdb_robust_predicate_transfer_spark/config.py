@@ -31,6 +31,12 @@ class RPTConfig:
     filter_type: str = "all"
     #: reference: rpt_flip_roots (join_order heuristic only)
     flip_roots: bool = True
+    #: backward-pass equivalence-class broadcast (join_order heuristic
+    #: only, like the reference's DAG schedule): build ONE key filter per
+    #: column-equivalence class at its highest ancestor and re-use it for
+    #: every descendant in the class (rpt_optimizer.cpp:1070-1158) —
+    #: fewer distinct key-set jobs, identical reduction strength
+    class_broadcast: bool = True
     #: use a serialized Bloom-filter sketch instead of exact key sets when
     #: the build side exceeds sketch_threshold_rows (scale path for huge
     #: build sides where a distinct key-set shuffle would be costly)

@@ -131,7 +131,13 @@ class Engine:
             tree = largest_root_tree(graph)
         else:
             tree = join_order_dag(graph, flip_roots=cfg.flip_roots)
-        plan = plan_schedule(tree, pass_mode=cfg.pass_mode)
+        plan = plan_schedule(
+            tree, pass_mode=cfg.pass_mode,
+            # the reference's backward broadcast belongs to the DAG
+            # (join_order) schedule, GenerateStageModificationsFromDAG
+            class_broadcast=(cfg.class_broadcast
+                             and cfg.heuristic == "join_order"),
+            edges=graph.edges)
 
         if cfg.display_dag:
             from .plans.dag_print import render_tree

@@ -165,6 +165,41 @@ def join_order_dag(graph: JoinGraph, flip_roots: bool = True) -> RootedTree:
     return _bfs_levels(anchor, parent, graph)
 
 
+def column_equivalence_classes(edges) -> dict:
+    """Union-find over ``(alias, column)`` pairs — the reference's
+    column equivalence classes (union-find at rpt_optimizer.cpp:494-511,
+    used by the DAG schedule's backward broadcast, :1070-1158).
+
+    Only **inner** edges union their endpoints: for an inner join chain
+    ``a.k = b.k = c.k`` every surviving result tuple carries the same
+    key value in all three tables, so a key filter built from *any*
+    member is sound against any other. Outer/semi edges do not give
+    that symmetric guarantee, so they contribute no equivalence.
+
+    Returns ``{(alias, col): class_representative}`` for every column
+    that appears in an inner edge.
+    """
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for e in edges:
+        if e.how != "inner":
+            continue
+        for lc, rc in zip(e.left_cols, e.right_cols):
+            ra, rb = find((e.left, lc)), find((e.right, rc))
+            if ra != rb:
+                parent[ra] = rb
+    return {k: find(k) for k in parent}
+
+
 def _bfs_levels(root: str, parent: dict, graph: JoinGraph) -> RootedTree:
     children = defaultdict(list)
     for c, (p, _) in parent.items():

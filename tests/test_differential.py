@@ -77,6 +77,35 @@ def test_cyclic_graph_differential(spark, sf_dir):
             == _collect_set(off.reduce_and_join(rels, edges).select(*cols)))
 
 
+def test_class_broadcast_differential(spark, sf_dir):
+    """join_order heuristic with the equivalence-class backward
+    broadcast: c_nationkey = n_nationkey = s_nationkey forms one class,
+    so some backward build must be redirected to a shallower member —
+    and results must still equal the rewrite-off baseline."""
+    rels = {"l": "lineitem", "o": "orders", "c": "customer",
+            "s": "supplier", "n": Rel("nation", "n_regionkey <= 2")}
+    edges = [
+        ("l", "o", "l_orderkey", "o_orderkey"),
+        ("o", "c", "o_custkey", "c_custkey"),
+        ("l", "s", "l_suppkey", "s_suppkey"),
+        ("c", "n", "c_nationkey", "n_nationkey"),
+        ("s", "n", "s_nationkey", "n_nationkey"),
+    ]
+    off = Engine(spark, sf_dir, RPTConfig(enabled=False))
+    on = Engine(spark, sf_dir,
+                RPTConfig(heuristic="join_order", **FORCE))
+    cols = ["l_orderkey", "l_linenumber"]
+    got = _collect_set(on.reduce_and_join(rels, edges).select(*cols))
+    # at least one backward op must not build at the probe's tree parent
+    plan = on.last_result.plan
+    parents = dict((c, p) for p, c in plan.tree)
+    assert any(op.build != parents[op.probe]
+               for op in plan.ops if op.phase == "backward"), \
+        plan.describe()
+    assert got == _collect_set(
+        off.reduce_and_join(rels, edges).select(*cols))
+
+
 def test_left_join_differential(spark, sf_dir):
     rels = {"c": "customer", "o": Rel("orders", "o_orderstatus = 'O'"),
             "n": Rel("nation", "n_regionkey = 2")}

@@ -121,6 +121,74 @@ def test_full_reduction_property():
     assert probed == {"l", "o", "c", "n", "rg"}
 
 
+def chain_graph_same_key():
+    """r - a - b - c all joined on one transitive key: a single column
+    equivalence class spanning every table."""
+    nodes = [TableNode("r", 100000), TableNode("a", 10000),
+             TableNode("b", 1000), TableNode("c", 100)]
+    edges = [
+        JoinEdge("r", "a", ("r_k",), ("a_k",)),
+        JoinEdge("a", "b", ("a_k",), ("b_k",)),
+        JoinEdge("b", "c", ("b_k",), ("c_k",)),
+    ]
+    return JoinGraph.build(nodes, edges)
+
+
+def test_equivalence_classes_transitive():
+    from duckdb_robust_predicate_transfer_spark.plans.graph import (
+        column_equivalence_classes)
+
+    g = chain_graph_same_key()
+    cls = column_equivalence_classes(g.edges)
+    reps = {cls[("r", "r_k")], cls[("a", "a_k")],
+            cls[("b", "b_k")], cls[("c", "c_k")]}
+    assert len(reps) == 1  # one transitive class
+
+
+def test_equivalence_classes_ignore_outer_edges():
+    from duckdb_robust_predicate_transfer_spark.plans.graph import (
+        column_equivalence_classes)
+
+    edges = [
+        JoinEdge("a", "b", ("k",), ("k",)),
+        JoinEdge("b", "c", ("k",), ("k",), how="left"),
+    ]
+    cls = column_equivalence_classes(edges)
+    assert cls[("a", "k")] == cls[("b", "k")]
+    assert ("c", "k") not in cls  # left edge does not union
+
+
+def test_backward_broadcast_builds_at_root():
+    """On a same-key chain the backward pass must CREATE once at the
+    root (the class's highest ancestor) and USE it at every
+    descendant — the reference's one-CREATE-per-class broadcast
+    (rpt_optimizer.cpp:1070-1158)."""
+    g = chain_graph_same_key()
+    tree = join_order_dag(g, flip_roots=True)
+    assert tree.root == "r"
+    plan = plan_schedule(tree, "both", class_broadcast=True, edges=g.edges)
+    backward = [op for op in plan.ops if op.phase == "backward"]
+    assert len(backward) == 3
+    assert all(op.build == "r" and op.build_cols == ("r_k",)
+               for op in backward)
+    assert {op.probe for op in backward} == {"a", "b", "c"}
+    # without the broadcast, builds cascade parent-by-parent
+    plan0 = plan_schedule(tree, "both", class_broadcast=False)
+    assert [op.build for op in plan0.ops if op.phase == "backward"] == \
+        ["r", "a", "b"]
+
+
+def test_backward_broadcast_distinct_keys_untouched():
+    # star_graph joins each hop on a DIFFERENT key: no class spans more
+    # than one edge, so the broadcast must change nothing
+    g = star_graph()
+    tree = join_order_dag(g, flip_roots=True)
+    with_bc = plan_schedule(tree, "both", class_broadcast=True,
+                            edges=g.edges)
+    without = plan_schedule(tree, "both", class_broadcast=False)
+    assert with_bc.ops == without.ops
+
+
 def test_dag_render():
     from duckdb_robust_predicate_transfer_spark.plans.dag_print import (
         fmt_card, render_tree)
