@@ -112,6 +112,85 @@ def lsh_topk(corpus: DataFrame, query_vec: list, id_col: str = "vec_id",
             .limit(k))
 
 
+def brute_force_topk_batch(corpus: DataFrame, queries: DataFrame,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           qid_col: str = "qid", qvec_col: str = "qv",
+                           k: int = 10) -> DataFrame:
+    """Exact top-k per query vector for a whole query SET in one job:
+    broadcast the queries against a single corpus scan, fold the dot
+    products JVM-side, rank per query with a window. This — not a
+    per-query driver loop — is how a batch of Q lookups runs against a
+    100 TB corpus: one pass, Q× the flops, same shuffle shape.
+
+    Returns (qid, id, cos_sim, rank) with rank in [1, k]."""
+    q = F.broadcast(queries.select(F.col(qid_col).alias("__qid"),
+                                   as_double(qvec_col).alias("qd")))
+    w = Window.partitionBy("__qid").orderBy(F.col("cos_sim").desc(), id_col)
+    return (corpus.withColumn("ed", as_double(vec_col))
+            .crossJoin(q)
+            .withColumn("cos_sim", F.round(cosine_sim("ed", "qd"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__qid").alias(qid_col), id_col,
+                    "cos_sim", "rank"))
+
+
+def lsh_topk_batch(corpus: DataFrame, queries: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   qid_col: str = "qid", qvec_col: str = "qv",
+                   k: int = 10, n_planes: int = 16, n_bands: int = 4,
+                   seed: int = 7) -> DataFrame:
+    """ANN top-k for a whole query set: corpus signatures computed once,
+    query signatures broadcast, candidates = band-bucket join, exact
+    rescore ranked per query. The candidate join replaces the batch
+    brute-force cross product with |corpus| x avg-bucket-hits work."""
+    sigs = hyperplane_signature(corpus, id_col, vec_col, n_planes, seed)
+    r = n_planes // n_bands
+    mask = (1 << r) - 1
+    band_expr = (f"transform(sequence(0, {n_bands - 1}),"
+                 f" b -> shiftright(sig, b * {r}) & {mask}L)")
+    bands = sigs.select(
+        id_col, vec_col,
+        F.posexplode(F.expr(band_expr)).alias("band_id", "band_val"))
+    qs = queries.select(
+        F.col(qid_col).alias("__qid"),
+        F.expr(f"transform({qvec_col}, x -> cast(x as float))")
+        .alias(vec_col))
+    qbands = hyperplane_signature(qs, "__qid", vec_col, n_planes, seed) \
+        .select("__qid", F.col(vec_col).alias("__qv"),
+                F.posexplode(F.expr(band_expr)).alias("band_id", "band_val"))
+    cand = (bands.join(F.broadcast(qbands), ["band_id", "band_val"])
+            .select("__qid", id_col, vec_col, "__qv").distinct())
+    w = Window.partitionBy("__qid").orderBy(F.col("cos_sim").desc(), id_col)
+    return (cand.withColumn("ed", as_double(vec_col))
+            .withColumn("qd", as_double("__qv"))
+            .withColumn("cos_sim", F.round(cosine_sim("ed", "qd"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__qid").alias(qid_col), id_col,
+                    "cos_sim", "rank"))
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame,
+               qid_col: str = "qid", id_col: str = "vec_id") -> DataFrame:
+    """Mean recall@k of an ANN result set against its exact baseline —
+    both as (qid, id, ...) top-k tables. A query with no approx hits
+    counts as zero recall (left join, not inner). One distributed
+    aggregate; at scale this is the index-quality gauge you run after
+    every (re)build of an ANN index."""
+    e = exact.select(qid_col, id_col)
+    a = approx.select(qid_col, id_col)
+    hits = (e.join(a, [qid_col, id_col])
+            .groupBy(qid_col).agg(F.count(F.lit(1)).alias("n_hits")))
+    per_q = (e.groupBy(qid_col).agg(F.count(F.lit(1)).alias("n_exact"))
+             .join(hits, qid_col, "left").fillna(0, ["n_hits"]))
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg(F.col("n_hits") / F.col("n_exact")), 6)
+        .alias("mean_recall"))
+
+
 def ivf_centroids(corpus: DataFrame, id_col: str = "vec_id",
                   vec_col: str = "embedding", n_centroids: int = 16
                   ) -> DataFrame:

@@ -200,6 +200,66 @@ def q_cosine_topk(spark, sf_dir):
 
 
 @query(
+    "q_cosine_topk_batch",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    sims AS (
+      SELECT q.qid, e.vec_id,
+             ROUND(
+               list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id >= 5
+    )
+    SELECT qid, vec_id, cos_sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS INT) AS rank
+      FROM sims) t
+    WHERE rank <= 5
+    """,
+)
+def q_cosine_topk_batch(spark, sf_dir):
+    """Batch exact top-k: 5 query vectors answered in ONE corpus pass
+    (broadcast queries x corpus scan, per-query window rank) — the
+    multi-query shape a 100 TB lookup service actually runs
+    (operators/similarity.py:brute_force_topk_batch)."""
+    from ..operators.similarity import brute_force_topk_batch
+
+    e = eng(spark, sf_dir)
+    emb = e.table("embeddings")
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return brute_force_topk_batch(corpus, queries, k=5)
+
+
+@query("q_ann_recall_lsh")  # approximate index metric => rows-only
+def q_ann_recall_lsh(spark, sf_dir):
+    """Recall@10 of the LSH-banded ANN index against the exact batch
+    baseline, over 8 query vectors — the distributed index-quality
+    gauge (operators/similarity.py:ann_recall)."""
+    from ..operators.similarity import (
+        ann_recall, brute_force_topk_batch, lsh_topk_batch)
+
+    e = eng(spark, sf_dir)
+    emb = e.table("embeddings")
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    exact = brute_force_topk_batch(corpus, queries, k=10)
+    approx = lsh_topk_batch(corpus, queries, k=10,
+                            n_planes=16, n_bands=8)
+    return ann_recall(exact, approx)
+
+
+@query(
     "q_embedding_norms",
     oracle="""
     SELECT label, COUNT(*) AS n,
