@@ -80,12 +80,17 @@ def main():
                                    "q_snowflake_agg", "q_cyclic_join_graph",
                                    "q_multi_col_join", "q_in_subquery_mark")
                        if q in times]
+        # three interleaved legs per query so warm-up and machine noise
+        # hit every mode equally: baseline OFF, our rewrite ON, and
+        # Catalyst's own one-hop runtime bloom filter (InjectRuntimeFilter,
+        # creation-side-only — SURVEY.md section 4), the built-in
+        # yardstick our multi-hop schedule must at least match
+        rf_conf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        with_native = os.environ.get("BENCH_NATIVE_RF", "1") != "0"
         try:
-            speedup = {}
+            speedup, native = {}, {}
             for name in rpt_queries:
-                # interleave off/on runs so session warm-up and machine
-                # noise hit both modes equally
-                best_off = best_on = math.inf
+                best_off = best_on = best_n = math.inf
                 for _ in range(max(runs, 3)):
                     set_default_config(RPTConfig(enabled=False))
                     t0 = time.time()
@@ -95,13 +100,30 @@ def main():
                     t0 = time.time()
                     force(QUERIES[name](spark, sf_dir))
                     best_on = min(best_on, time.time() - t0)
+                    if with_native:
+                        set_default_config(RPTConfig(enabled=False))
+                        spark.conf.set(rf_conf, "true")
+                        t0 = time.time()
+                        force(QUERIES[name](spark, sf_dir))
+                        best_n = min(best_n, time.time() - t0)
+                        spark.conf.set(rf_conf, "false")
+                        set_default_config(None)
                 times[name] = min(times[name], round(best_on, 3))
                 speedup[name] = round(best_off / max(best_on, 1e-3), 3)
+                if with_native:
+                    native[name] = round(best_n, 3)
             extra["rpt_speedup"] = speedup
             extra["rpt_speedup_geomean"] = round(math.exp(
                 sum(math.log(max(s, 1e-3)) for s in speedup.values())
                 / len(speedup)), 3)
+            if with_native:
+                extra["native_rf_sec"] = native
+                # >1: our transfer beats Catalyst's one-hop filters
+                extra["rpt_vs_native_geomean"] = round(math.exp(
+                    sum(math.log(max(native[q] / max(times[q], 1e-3), 1e-3))
+                        for q in rpt_queries) / len(rpt_queries)), 3)
         finally:
+            spark.conf.set(rf_conf, "false")
             set_default_config(None)
 
     geomean = math.exp(sum(math.log(max(t, 1e-3)) for t in times.values())

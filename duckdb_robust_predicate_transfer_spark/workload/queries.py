@@ -801,6 +801,83 @@ def q_job_style_wide(spark, sf_dir):
 
 
 @query(
+    "q_job_style_like_in",
+    oracle="""
+    SELECT MIN(p_name) AS min_part, MAX(s_name) AS max_supp,
+           COUNT(*) AS cnt
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE p_name LIKE '%r%'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND c_mktsegment = 'BUILDING'
+    """,
+)
+def q_job_style_like_in(spark, sf_dir):
+    """JOB-signature query shape: MIN/MAX over string columns, LIKE and
+    IN-list dimension predicates (the JOB workload's predicate surface,
+    README.md:83). LIKE/IN filters belong to the FILTER+GET transfer
+    unit, so the key filters are built from the *filtered* dims
+    (rpt_optimizer.cpp:74-83)."""
+    e = eng(spark, sf_dir)
+    j = e.reduce_and_join(
+        {"l": "lineitem",
+         "p": Rel("part", "p_name LIKE '%r%'"),
+         "s": "supplier",
+         "o": Rel("orders",
+                  "o_orderpriority IN ('1-URGENT', '2-HIGH')"),
+         "c": Rel("customer", "c_mktsegment = 'BUILDING'")},
+        [("l", "p", "l_partkey", "p_partkey"),
+         ("l", "s", "l_suppkey", "s_suppkey"),
+         ("l", "o", "l_orderkey", "o_orderkey"),
+         ("o", "c", "o_custkey", "c_custkey")])
+    return j.agg(F.min("p_name").alias("min_part"),
+                 F.max("s_name").alias("max_supp"),
+                 F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "q_job_style_dim_fanout",
+    oracle=f"""
+    SELECT p_brand, n_name AS supp_nation, COUNT(*) AS cnt,
+           {sql_dsum(REVENUE, "revenue")},
+           MIN(l_shipdate) AS first_ship
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_type IN ('ECONOMY', 'STANDARD')
+      AND r_name IN ('AMERICA', 'AFRICA')
+      AND l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+    GROUP BY p_brand, n_name
+    """,
+)
+def q_job_style_dim_fanout(spark, sf_dir):
+    """Fact with two independent dimension chains (part; supplier ->
+    nation -> region) and a local fact filter: the filtered fact is
+    itself a transfer unit, so forward filters flow into it from both
+    chains and the backward pass flows out of it."""
+    e = eng(spark, sf_dir)
+    j = e.reduce_and_join(
+        {"l": Rel("lineitem",
+                  "l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'"),
+         "p": Rel("part", "p_type IN ('ECONOMY', 'STANDARD')"),
+         "s": "supplier", "n": "nation",
+         "rg": Rel("region", "r_name IN ('AMERICA', 'AFRICA')")},
+        [("l", "p", "l_partkey", "p_partkey"),
+         ("l", "s", "l_suppkey", "s_suppkey"),
+         ("s", "n", "s_nationkey", "n_nationkey"),
+         ("n", "rg", "n_regionkey", "r_regionkey")])
+    return (j.groupBy("p_brand", F.col("n_name").alias("supp_nation"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 dsum(revenue_col(), "revenue"),
+                 F.min("l_shipdate").alias("first_ship")))
+
+
+@query(
     "q_full_outer_join",
     oracle="""
     SELECT COUNT(*) AS n_rows,
