@@ -612,6 +612,44 @@ def q_events_funnel(spark, sf_dir):
 
 
 @query(
+    "q_events_asof",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT v.event_id, v.user_id,
+           p.ts AS purchase_ts, p.purchase_value
+    FROM v ASOF LEFT JOIN p
+        ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def q_events_asof(spark, sf_dir):
+    """As-of join (operators/asof.py): each view event picks up the
+    user's most recent purchase at or before it. Spark lacks ASOF JOIN;
+    the union+window implementation does ONE shuffle of |L|+|R| rows —
+    DuckDB's native ASOF LEFT JOIN is the exact oracle."""
+    from ..operators.asof import asof_join
+
+    e = eng(spark, sf_dir)
+    ev = e.table("events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("event_id", "user_id", "ts"))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("purchase_value")))
+    return (asof_join(views, buys, on="user_id",
+                      payload=["purchase_value"],
+                      matched_ts="purchase_ts")
+            .select("event_id", "user_id", "purchase_ts",
+                    "purchase_value"))
+
+
+@query(
     "q_events_retention",
     oracle="""
     WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)

@@ -139,6 +139,38 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert c == b
 
 
+def test_asof_join_semantics(spark, sf_dir):
+    from datetime import datetime
+
+    from duckdb_robust_predicate_transfer_spark.operators.asof import (
+        asof_join)
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    left = spark.createDataFrame(
+        [(1, t(10)), (1, t(20)), (1, t(5)), (2, t(30))],
+        "k: long, ts: timestamp")
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(15), 150.0), (3, t(1), 999.0)],
+        "k: long, ts: timestamp, v: double")
+    rows = {(r.k, r.ts.second): (r.v, r.matched_ts.second
+                                 if r.matched_ts else None)
+            for r in asof_join(left, right, on="k",
+                               payload=["v"]).collect()}
+    assert rows[(1, 10)] == (100.0, 10)   # tie at equal ts is inclusive
+    assert rows[(1, 20)] == (150.0, 15)   # most recent prior
+    assert rows[(1, 5)] == (None, None)   # nothing at-or-before
+    assert rows[(2, 30)] == (None, None)  # key with no right rows
+
+    # tolerance: match older than 4s is nulled out
+    tol = {(r.k, r.ts.second): r.v
+           for r in asof_join(left, right, on="k", payload=["v"],
+                              tolerance_s=4).collect()}
+    assert tol[(1, 10)] == 100.0
+    assert tol[(1, 20)] is None           # 20 - 15 = 5s > 4s
+
+
 def test_batch_topk_matches_single_query(spark, sf_dir):
     from duckdb_robust_predicate_transfer_spark.operators.similarity import (
         brute_force_topk, brute_force_topk_batch)
