@@ -1,0 +1,127 @@
+"""Physical-plan audits: lock in the properties that make the plans
+scale — column-pruned scans, predicate pushdown into Parquet, bounded
+shuffle counts, broadcast dimension joins, whole-stage codegen.
+
+Correctness tests can't catch a plan regression (a full-width scan
+returns the same rows, 50x slower at 100 TB); these can. The analogue
+of the reference's EXPLAIN checks (README.md:78: EXPLAIN must show
+CREATE_BF/USE_BF).
+"""
+
+import re
+
+import pytest
+
+from duckdb_robust_predicate_transfer_spark.workload import QUERIES
+
+
+def physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scans(plan: str) -> list:
+    """[(file, read_schema_cols)] per FileScan in the plan."""
+    out = []
+    for m in re.finditer(
+            r"FileScan parquet .*?file:[^\]]*/(\w+)\.parquet.*?"
+            r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0] for c in m.group(2).split(",") if c]
+        out.append((m.group(1), cols))
+    return out
+
+
+def n_shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def test_star_join_scans_are_pruned(spark, sf_dir):
+    plan = physical(QUERIES["q_star_join_rpt"](spark, sf_dir))
+    per_table = {t: cols for t, cols in scans(plan)}
+    # the fact scan must read only the join key + grouped/aggregated
+    # columns, never the full 16-column row
+    assert set(per_table["lineitem"]) <= {
+        "l_orderkey", "l_extendedprice", "l_discount"}
+    # the filtered dimension's predicate must reach the parquet reader
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(r_name", plan)
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = physical(QUERIES["q_star_join_rpt"](spark, sf_dir))
+    # every dim fits the broadcast threshold at test scale: the only
+    # hash shuffle allowed is the final groupBy aggregation
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert n_shuffles(plan) <= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_snowflake_agg_stays_in_codegen(spark, sf_dir):
+    import contextlib
+    import io
+
+    df = QUERIES["q_snowflake_agg"](spark, sf_dir)
+    # joins + partial aggregation fuse into whole-stage codegen (the
+    # '*'-starred operators in the final AQE plan); no Python evaluation
+    # anywhere in the pipeline
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    final = buf.getvalue()
+    assert "* HashAggregate" in final and "* BroadcastHashJoin" in final, \
+        final[:500]
+    plan = physical(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial combine
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    plan = physical(QUERIES["q_dedup_exact"](spark, sf_dir))
+    # hash-groupBy dedup = partial agg + ONE exchange + final agg
+    assert n_shuffles(plan) == 1
+    assert plan.count("HashAggregate") >= 2  # map-side partial combine
+
+
+def test_asof_join_single_window_shuffle(spark, sf_dir):
+    plan = physical(QUERIES["q_events_asof"](spark, sf_dir))
+    # one shuffle for the as-of window + one for the purchase pre-agg;
+    # a range theta join here would be a nested-loop disaster
+    assert n_shuffles(plan) <= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_topk_group_limit_pushed_below_shuffle(spark, sf_dir):
+    plan = physical(QUERIES["q_topk"](spark, sf_dir))
+    # per-group top-k must prune BEFORE the shuffle (partial
+    # WindowGroupLimit), so each partition ships at most k rows per
+    # group instead of its whole slice
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_orderby_limit_uses_take_ordered(spark, sf_dir):
+    plan = physical(QUERIES["q_orderby_limit"](spark, sf_dir))
+    # global ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    # (per-partition heaps + driver merge), never a full Sort
+    assert "TakeOrderedAndProject" in plan
+    assert n_shuffles(plan) == 0
+
+
+def test_events_scan_prunes_props(spark, sf_dir):
+    plan = physical(QUERIES["q_events_sessionize"](spark, sf_dir))
+    for t, cols in scans(plan):
+        if t == "events":
+            # props (the widest column) is not referenced => not read
+            assert "props" not in cols
+
+
+def test_multimodal_is_the_only_python_surface(spark, sf_dir):
+    """Python must appear in exactly one plan: the deliberately-stubbed
+    multimodal decode (mapInPandas). Every other declared query stays
+    JVM-side end to end."""
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = physical(fn(spark, sf_dir))
+        if ("EvalPython" in plan or "MapInPandas" in plan
+                or "FlatMapGroupsInPandas" in plan):
+            offenders.append(name)
+    assert offenders == ["q_multimodal_features"], offenders
