@@ -801,6 +801,31 @@ def q_job_style_wide(spark, sf_dir):
 
 
 @query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group: Spark's percentile()
+    and DuckDB's quantile_cont() share linear-interpolation semantics,
+    so the oracle is exact. (percentile_approx is the cluster-scale
+    single-pass variant; it is engine-specific and not declared.)"""
+    e = eng(spark, sf_dir)
+    pct = "percentile(l_extendedprice, {})"
+    return (e.table("lineitem").groupBy("l_returnflag")
+            .agg(*[F.round(F.expr(pct.format(q)), 6).alias(n)
+                   for q, n in ((0.25, "p25"), (0.5, "p50"),
+                                (0.9, "p90"), (0.99, "p99"))]))
+
+
+@query(
     "q_job_style_like_in",
     oracle="""
     SELECT MIN(p_name) AS min_part, MAX(s_name) AS max_supp,
