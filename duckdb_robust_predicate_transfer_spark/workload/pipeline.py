@@ -650,6 +650,46 @@ def q_events_asof(spark, sf_dir):
 
 
 @query(
+    "q_events_interval_join",
+    oracle="""
+    WITH inc AS (
+      SELECT event_id AS inc_id, user_id AS inc_user, ts AS t0,
+             ts + INTERVAL 10 MINUTE AS t1
+      FROM events WHERE event_type = 'error'
+    ),
+    v AS (SELECT event_id, ts FROM events WHERE event_type = 'view')
+    SELECT inc_id, COUNT(event_id) AS n_views
+    FROM inc LEFT JOIN v ON v.ts >= inc.t0 AND v.ts < inc.t1
+    GROUP BY inc_id
+    """,
+)
+def q_events_interval_join(spark, sf_dir):
+    """Point-in-interval range join (operators/interval.py): views
+    falling inside each error's 10-minute incident window, counted per
+    incident. No equi key at all — the bucketed rewrite turns what
+    Spark would plan as a nested-loop join into a shuffle equi-join on
+    bucket ids; the LEFT-preserving count comes from re-joining matches
+    to the interval set."""
+    from ..operators.interval import interval_point_join
+
+    e = eng(spark, sf_dir)
+    ev = e.table("events")
+    inc = (ev.filter(F.col("event_type") == "error")
+           .select(F.col("event_id").alias("inc_id"),
+                   F.col("ts").alias("t0"),
+                   (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("t1")))
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("v_id"),
+                     F.col("ts").alias("v_ts")))
+    matches = (interval_point_join(views, inc, "v_ts", "t0", "t1",
+                                   bucket_s=600)
+               .groupBy("inc_id").agg(F.count("v_id").alias("n_views")))
+    return (inc.select("inc_id").join(matches, "inc_id", "left")
+            .select("inc_id", F.coalesce("n_views", F.lit(0))
+                    .alias("n_views")))
+
+
+@query(
     "q_events_retention",
     oracle="""
     WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)

@@ -171,6 +171,28 @@ def test_asof_join_semantics(spark, sf_dir):
     assert tol[(1, 20)] is None           # 20 - 15 = 5s > 4s
 
 
+def test_interval_point_join_boundaries(spark, sf_dir):
+    from datetime import datetime
+
+    from duckdb_robust_predicate_transfer_spark.operators.interval import (
+        interval_point_join)
+
+    def t(m, s=0):
+        return datetime(2024, 1, 1, 0, m, s)
+
+    points = spark.createDataFrame(
+        [(1, t(0)), (2, t(5)), (3, t(10)), (4, t(59, 59)), (5, t(30))],
+        "pid: long, ts: timestamp")
+    ivs = spark.createDataFrame(
+        [(100, t(0), t(10)), (200, t(5), t(31))],
+        "iid: long, t0: timestamp, t1: timestamp")
+    got = sorted((r.pid, r.iid) for r in interval_point_join(
+        points, ivs, "ts", "t0", "t1", bucket_s=600).collect())
+    # half-open [t0, t1): start inclusive, end exclusive; intervals may
+    # overlap (pid 2 matches both); bucket boundaries must not matter
+    assert got == [(1, 100), (2, 100), (2, 200), (3, 200), (5, 200)]
+
+
 def test_batch_topk_matches_single_query(spark, sf_dir):
     from duckdb_robust_predicate_transfer_spark.operators.similarity import (
         brute_force_topk, brute_force_topk_batch)

@@ -90,6 +90,14 @@ def test_asof_join_single_window_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_interval_join_avoids_nested_loop(spark, sf_dir):
+    plan = physical(QUERIES["q_events_interval_join"](spark, sf_dir))
+    # the bucketed rewrite must keep the range join out of
+    # nested-loop/cartesian territory
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_topk_group_limit_pushed_below_shuffle(spark, sf_dir):
     plan = physical(QUERIES["q_topk"](spark, sf_dir))
     # per-group top-k must prune BEFORE the shuffle (partial
