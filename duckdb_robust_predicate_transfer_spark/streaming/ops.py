@@ -138,6 +138,39 @@ def dedup_stream(events: DataFrame, keys: list | None = None,
             .dropDuplicatesWithinWatermark(keys))
 
 
+def stream_stream_conversions(events: DataFrame, window_s: int = 3600,
+                              watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each view event matched to the same
+    user's purchases within ``window_s`` seconds after it — the
+    streaming twin of the batch funnel's range join
+    (workload/pipeline.py:q_events_funnel).
+
+    BOTH sides carry watermarks and the join condition bounds the
+    event-time distance, so Spark can expire join state once the
+    watermark passes a row's match window — the only way a
+    stream-stream join survives an unbounded stream. Without the time
+    bound, state grows forever."""
+    views = (events.filter(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("v_ts"))
+             .withWatermark("v_ts", watermark))
+    buys = (events.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user"),
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("ts").alias("p_ts"))
+            .withWatermark("p_ts", watermark))
+    return (views.join(
+        buys,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts")
+           + F.expr(f"INTERVAL {window_s} SECONDS")),
+        "inner")
+        .select("view_id", "purchase_id",
+                F.col("v_user").alias("user_id"), "v_ts", "p_ts"))
+
+
 def enriched_stream(events: DataFrame, dim: DataFrame,
                     on: str = "user_id") -> DataFrame:
     """Stream-static join: enrich the event stream against a slowly

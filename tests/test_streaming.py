@@ -51,6 +51,33 @@ def test_dedup_stream_removes_duplicates(spark, sf_dir):
     assert got.groupBy("event_id").count().filter("count > 1").count() == 0
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from duckdb_robust_predicate_transfer_spark.catalog import get_catalog
+    from duckdb_robust_predicate_transfer_spark.streaming.ops import (
+        run_to_memory, stream_stream_conversions)
+
+    stream = read_event_stream(spark, sf_dir)
+    got = run_to_memory(stream_stream_conversions(stream, window_s=3600),
+                        "ss_join_test")
+
+    ev = get_catalog(spark, sf_dir).table("events")
+    v = (ev.filter(F.col("event_type") == "view")
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("v_ts")))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts")))
+    expect = v.join(
+        p, (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 3600 SECONDS")),
+        "inner").select("view_id", "purchase_id")
+    assert (sorted(map(tuple, got.select("view_id", "purchase_id").collect()))
+            == sorted(map(tuple, expect.collect())))
+
+
 def test_enriched_stream_matches_batch_join(spark, sf_dir):
     from duckdb_robust_predicate_transfer_spark.catalog import get_catalog
     from duckdb_robust_predicate_transfer_spark.streaming.ops import (
