@@ -248,6 +248,38 @@ def ivf_topk(corpus: DataFrame, query_vec: list, id_col: str = "vec_id",
             .limit(k))
 
 
+def ivf_topk_batch(corpus: DataFrame, queries: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   qid_col: str = "qid", qvec_col: str = "qv",
+                   k: int = 10, n_centroids: int = 16,
+                   nprobe: int = 4) -> DataFrame:
+    """IVF approximate top-k for a whole query set with NO driver-side
+    step (the single-query variant collects its probe list; this one
+    ranks centroids per query inside the plan): queries x broadcast
+    centroids -> top-nprobe lists per query -> join against the
+    inverted-file assignment -> exact rescore, ranked per query. Scan
+    work drops to ~|corpus| * nprobe / n_centroids per query."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    qd = queries.select(F.col(qid_col).alias("__qid"),
+                        as_double(qvec_col).alias("qd"))
+    wq = Window.partitionBy("__qid").orderBy(
+        F.col("sim").desc(), "centroid_id")
+    probe = (qd.crossJoin(F.broadcast(cents))
+             .withColumn("sim", cosine_sim("qd", "cd"))
+             .withColumn("__rn", F.row_number().over(wq))
+             .filter(F.col("__rn") <= nprobe)
+             .select("__qid", "qd", "centroid_id"))
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    w = Window.partitionBy("__qid").orderBy(F.col("cos_sim").desc(), id_col)
+    return (assigned.join(F.broadcast(probe), "centroid_id")
+            .withColumn("ed", as_double(vec_col))
+            .withColumn("cos_sim", F.round(cosine_sim("ed", "qd"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__qid").alias(qid_col), id_col,
+                    "cos_sim", "rank"))
+
+
 def cosine_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          threshold: float = 0.95,

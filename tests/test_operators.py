@@ -227,6 +227,28 @@ def test_ann_recall_metric(spark, sf_dir):
     # deterministic planes (seeded xxhash) => stable recall; measured
     # 0.9625 at sf0.001, 0.975 at sf0.01
     assert got.mean_recall >= 0.9
+
+
+def test_ivf_batch_matches_single_query(spark, sf_dir):
+    from duckdb_robust_predicate_transfer_spark.operators.similarity import (
+        ivf_topk, ivf_topk_batch)
+
+    emb = get_catalog(spark, sf_dir).table("embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    single = {r.vec_id for r in
+              ivf_topk(corpus, qv, k=10, n_centroids=8, nprobe=4).collect()}
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    batch = {r.vec_id for r in
+             ivf_topk_batch(corpus, queries, k=10, n_centroids=8,
+                            nprobe=4).collect()}
+    # same centroids, same probe lists => same candidate set => same top-k
+    assert batch == single
+
+
+def test_ivf_topk_overlaps_brute_force(spark, sf_dir):
     from duckdb_robust_predicate_transfer_spark.operators.similarity import (
         brute_force_topk, ivf_topk)
 
