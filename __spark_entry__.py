@@ -8,11 +8,18 @@ from SURVEY.md section 2d plus the LLM-pipeline extras, implemented in
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from duckdb_robust_predicate_transfer_spark.workload import ORACLE, QUERIES
+# importable no matter where the loading process's cwd is
+_HERE = os.path.dirname(os.path.abspath(__file__))
+if _HERE not in sys.path:
+    sys.path.insert(0, _HERE)
+
+from duckdb_robust_predicate_transfer_spark.workload import ORACLE, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -21,7 +21,14 @@ class RPTConfig:
     enabled: bool = True
     #: "both" | "forward_only"  (reference: rpt_pass_mode)
     pass_mode: str = "both"
-    #: "largest_root" | "join_order"  (reference: rpt_heuristic)
+    #: "largest_root" | "join_order" | "catalyst"  (reference:
+    #: rpt_heuristic largest_root|join_order). ``join_order`` directs the
+    #: DAG by edge-declaration order; ``catalyst`` reads the *actual*
+    #: physical join order (build-first DFS with hash-join build sides)
+    #: out of Spark's plan via py4j — the closest analogue of the
+    #: reference reusing the host optimizer's join order
+    #: (rpt_optimizer.cpp:494-713) — falling back to declaration order
+    #: when leaf resolution fails (e.g. self-joins re-alias exprIds)
     heuristic: str = "largest_root"
     #: "all" | "bf_only" | "minmax_only"  (reference: rpt_filter_type)
     #: - bf tier here = exact-key left-semi transfer (perfect Bloom filter)
@@ -83,7 +90,8 @@ class RPTConfig:
 
     def validate(self) -> "RPTConfig":
         assert self.pass_mode in ("both", "forward_only"), self.pass_mode
-        assert self.heuristic in ("largest_root", "join_order"), self.heuristic
+        assert self.heuristic in (
+            "largest_root", "join_order", "catalyst"), self.heuristic
         assert self.filter_type in ("all", "bf_only", "minmax_only"), self.filter_type
         return self
 

@@ -28,7 +28,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from .catalog import Catalog, get_catalog
 from .config import DEFAULT, RPTConfig
 from .operators.rewrite import TransferResult, apply_transfer
-from .plans.graph import JoinGraph, join_order_dag, largest_root_tree
+from .plans.graph import (JoinGraph, execution_order_dag, join_order_dag,
+                          largest_root_tree)
 from .plans.ir import JoinEdge, TableNode
 from .plans.schedule import plan_schedule
 
@@ -129,6 +130,20 @@ class Engine:
 
         if cfg.heuristic == "largest_root":
             tree = largest_root_tree(graph)
+        elif cfg.heuristic == "catalyst":
+            from .plans.catalyst_order import physical_alias_order
+
+            # plan (never execute) the un-rewritten join and read the
+            # host's real join order out of it — the analogue of the
+            # reference reusing DuckDB's join order as the transfer DAG
+            # (rpt_optimizer.cpp:494-713); fall back to declaration
+            # order when leaves can't be resolved
+            order = physical_alias_order(self.join_all(dfs, jedges), dfs)
+            if order is not None:
+                tree = execution_order_dag(graph, order,
+                                           flip_roots=cfg.flip_roots)
+            else:
+                tree = join_order_dag(graph, flip_roots=cfg.flip_roots)
         else:
             tree = join_order_dag(graph, flip_roots=cfg.flip_roots)
         plan = plan_schedule(
@@ -136,7 +151,7 @@ class Engine:
             # the reference's backward broadcast belongs to the DAG
             # (join_order) schedule, GenerateStageModificationsFromDAG
             class_broadcast=(cfg.class_broadcast
-                             and cfg.heuristic == "join_order"),
+                             and cfg.heuristic in ("join_order", "catalyst")),
             edges=graph.edges)
 
         if cfg.display_dag:

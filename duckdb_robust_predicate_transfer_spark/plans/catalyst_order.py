@@ -1,0 +1,91 @@
+"""Read the host optimizer's join order out of Spark's physical plan.
+
+The reference's ``join_order`` heuristic does not invent a transfer
+schedule — it reuses the order the host engine already chose for the
+joins: a build-first DFS over the physical join tree assigns every
+base table an execution index, and later-executed tables become
+transfer parents (BuildPhysicalPlanDAG / PhysicalDAGDFS,
+rpt_optimizer.cpp:494-713). At the PySpark layer the analogous "host
+plan" is Catalyst's physical plan for the un-rewritten join, which we
+can traverse through py4j: join nodes expose their build side
+(BroadcastHashJoinExec/ShuffledHashJoinExec ``buildSide``), and leaf
+scans expose output attribute ``exprId``s that map back to the input
+DataFrames.
+
+Everything here is best-effort: any resolution failure returns None
+and the caller falls back to declaration order (the behavior of the
+plain ``join_order`` heuristic). The traversal never triggers a Spark
+job — ``sparkPlan`` is pure planning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _jseq(seq) -> list:
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _output_expr_ids(jplan) -> set:
+    return {a.exprId().id() for a in _jseq(jplan.output())}
+
+
+def alias_expr_ids(alias_dfs: dict) -> dict:
+    """alias -> set of Catalyst exprId longs of that DataFrame's output."""
+    out = {}
+    for alias, df in alias_dfs.items():
+        out[alias] = _output_expr_ids(df._jdf.queryExecution().analyzed())
+    return out
+
+
+def _build_first_children(node) -> list:
+    """Children of a physical node, build side first.
+
+    The reference walks the join tree build-first so the build side's
+    DFS index (= its execution order under a hash join) precedes the
+    probe side's (rpt_optimizer.cpp:532-545). Spark hash joins carry
+    an explicit BuildLeft/BuildRight; sort-merge joins have no build
+    side, where we keep plan order (both sides sort concurrently).
+    """
+    kids = _jseq(node.children())
+    if len(kids) == 2:
+        try:
+            if node.buildSide().toString() == "BuildRight":
+                return [kids[1], kids[0]]
+        except Exception:
+            pass  # not a hash join (e.g. SortMergeJoinExec)
+    return kids
+
+
+def physical_alias_order(joined: DataFrame, alias_dfs: dict) -> "list | None":
+    """Aliases in physical execution order, or None if unresolvable.
+
+    ``joined`` must be the *un-rewritten* composition of the relations
+    in ``alias_dfs`` (the same DataFrame objects — leaf matching is by
+    Catalyst exprId, which joins preserve). Self-joins re-alias one
+    side's exprIds; such leaves simply fail to match and the function
+    returns None rather than guessing.
+    """
+    try:
+        ids = alias_expr_ids(alias_dfs)
+        jplan = joined._jdf.queryExecution().sparkPlan()
+        order: list = []
+        stack = [jplan]
+        while stack:
+            node = stack.pop()
+            kids = _build_first_children(node)
+            if not kids:
+                leaf_ids = _output_expr_ids(node)
+                hits = [a for a, s in ids.items()
+                        if s & leaf_ids and a not in order]
+                if len(hits) == 1:
+                    order.append(hits[0])
+            else:
+                # stack is LIFO: push reversed so kids[0] pops first
+                stack.extend(reversed(kids))
+        if set(order) != set(alias_dfs):
+            return None
+        return order
+    except Exception:
+        return None

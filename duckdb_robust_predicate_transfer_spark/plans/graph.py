@@ -165,6 +165,69 @@ def join_order_dag(graph: JoinGraph, flip_roots: bool = True) -> RootedTree:
     return _bfs_levels(anchor, parent, graph)
 
 
+def execution_order_dag(graph: JoinGraph, order: list,
+                        flip_roots: bool = True) -> RootedTree:
+    """Rooted tree directed by an explicit table execution order.
+
+    ``order`` is the base tables' physical execution order (earliest
+    first), as read from the host engine's plan — the reference's
+    PhysicalDAGDFS assigns exactly this index with a build-first DFS
+    and makes later-executed tables transfer parents
+    (rpt_optimizer.cpp:532-545, :575-601). We realize the same
+    directionality by choosing spanning edges in ascending order of
+    their later-executed endpoint (so cycle-breaking follows the real
+    join order, not declaration order) and rooting at the
+    last-executed table; ``flip_roots`` instead re-roots at the
+    largest table, the terminal state of FlipRootsToLeaves
+    (rpt_optimizer.cpp:715-810).
+    """
+    if not graph.nodes:
+        return RootedTree(root="")
+    rows = {a: n.rows for a, n in graph.nodes.items()}
+    pos = {a: i for i, a in enumerate(order)}
+    ranked = sorted(
+        range(len(graph.edges)),
+        key=lambda i: (max(pos.get(graph.edges[i].left, 0),
+                           pos.get(graph.edges[i].right, 0)), i))
+
+    chosen: list = []
+    comp: dict = {a: a for a in graph.nodes}
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    for i in ranked:
+        e = graph.edges[i]
+        ra, rb = find(e.left), find(e.right)
+        if ra != rb:
+            comp[ra] = rb
+            chosen.append(e)
+
+    if flip_roots:
+        anchor = max(graph.nodes, key=lambda a: (rows[a], a))
+    else:
+        anchor = max(graph.nodes, key=lambda a: pos.get(a, -1))
+
+    adj = defaultdict(list)
+    for e in chosen:
+        adj[e.left].append((e.right, e))
+        adj[e.right].append((e.left, e))
+    parent: dict = {}
+    seen = {anchor}
+    q = deque([anchor])
+    while q:
+        u = q.popleft()
+        for v, e in adj[u]:
+            if v not in seen:
+                seen.add(v)
+                parent[v] = (u, e)
+                q.append(v)
+    return _bfs_levels(anchor, parent, graph)
+
+
 def column_equivalence_classes(edges) -> dict:
     """Union-find over ``(alias, column)`` pairs — the reference's
     column equivalence classes (union-find at rpt_optimizer.cpp:494-511,

@@ -506,6 +506,38 @@ def q_cube(spark, sf_dir):
     return eng(spark, sf_dir).sql(_CUBE_BODY)
 
 
+@query(
+    "q_rollup_star",
+    oracle=f"""
+    SELECT r_name, n_name, COUNT(*) AS cnt,
+           {sql_dsum(REVENUE, "revenue")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_star(spark, sf_dir):
+    """Grouping sets ABOVE a transfer-reduced join: the reference treats
+    a grouped aggregate as binding-transparent so transfer composes
+    under it (rpt_optimizer.cpp:86, :90-98); the rollup's NULL
+    super-aggregate rows must come from the reduced-but-identical join
+    input."""
+    e = eng(spark, sf_dir)
+    j = e.reduce_and_join(
+        {"l": "lineitem", "o": Rel("orders", "o_orderstatus = 'F'"),
+         "c": "customer", "n": "nation", "rg": "region"},
+        [("l", "o", "l_orderkey", "o_orderkey"),
+         ("o", "c", "o_custkey", "c_custkey"),
+         ("c", "n", "c_nationkey", "n_nationkey"),
+         ("n", "rg", "n_regionkey", "r_regionkey")])
+    return j.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum(revenue_col(), "revenue"))
+
+
 # --------------------------------------------------------------------------
 # set operations (opaque transfer nodes, rpt_optimizer.cpp:112-119)
 # --------------------------------------------------------------------------

@@ -40,6 +40,7 @@ CONFIGS = [
     RPTConfig(filter_type="minmax_only", **FORCE),
     RPTConfig(heuristic="join_order", **FORCE),
     RPTConfig(heuristic="join_order", flip_roots=False, **FORCE),
+    RPTConfig(heuristic="catalyst", **FORCE),
     RPTConfig(persist_reduced=False, **FORCE),
 ]
 

@@ -200,3 +200,45 @@ def test_dag_render():
         assert f"+- {alias} " in out
     assert "60.0K" in out and "[l_orderkey = o_orderkey]" in out
     assert fmt_card(2_500_000_000) == "2.5B"
+
+
+def cyclic_graph():
+    """Triangle a-b-c plus pendant d: one edge must be dropped."""
+    nodes = [TableNode("a", 1000), TableNode("b", 500),
+             TableNode("c", 100), TableNode("d", 10)]
+    edges = [
+        JoinEdge("a", "b", ("k1",), ("k1",)),
+        JoinEdge("b", "c", ("k2",), ("k2",)),
+        JoinEdge("a", "c", ("k3",), ("k3",)),
+        JoinEdge("c", "d", ("k4",), ("k4",)),
+    ]
+    return JoinGraph.build(nodes, edges)
+
+
+def test_execution_order_dag_follows_order():
+    """Cycle-breaking must follow the host's execution order, not
+    declaration order: with c,a executing before b, the a-c edge (later
+    endpoint a) ranks before both b edges and survives; the b-c edge
+    (later endpoint b) closes the cycle and is dropped."""
+    from duckdb_robust_predicate_transfer_spark.plans.graph import (
+        execution_order_dag)
+
+    tree = execution_order_dag(cyclic_graph(), order=["c", "a", "b", "d"])
+    kept = {frozenset((p, c)) for p, c, _ in tree.tree_edges()}
+    assert frozenset(("a", "c")) in kept
+    assert frozenset(("b", "c")) not in kept
+    # flip_roots=True anchors at the largest table (FlipRootsToLeaves
+    # terminal state, rpt_optimizer.cpp:715-810)
+    assert tree.root == "a"
+
+
+def test_execution_order_dag_no_flip_roots_last_executed():
+    from duckdb_robust_predicate_transfer_spark.plans.graph import (
+        execution_order_dag)
+
+    tree = execution_order_dag(cyclic_graph(), order=["c", "a", "b", "d"],
+                               flip_roots=False)
+    # later-executed = parent (rpt_optimizer.cpp:575-601): the
+    # last-executed table anchors the DAG
+    assert tree.root == "d"
+    assert len(tree.parent) == 3

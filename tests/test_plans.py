@@ -133,3 +133,37 @@ def test_multimodal_is_the_only_python_surface(spark, sf_dir):
                 or "FlatMapGroupsInPandas" in plan):
             offenders.append(name)
     assert offenders == ["q_multimodal_features"], offenders
+
+
+def test_catalyst_order_reads_physical_join_order(spark, sf_dir):
+    """physical_alias_order must recover a full permutation from Spark's
+    plan, with hash-join build sides (broadcast dims) executing before
+    the probed fact — the property the reference's PhysicalDAGDFS
+    derives from build-first DFS (rpt_optimizer.cpp:532-545)."""
+    from duckdb_robust_predicate_transfer_spark.engine import Engine
+    from duckdb_robust_predicate_transfer_spark.plans.catalyst_order import (
+        physical_alias_order)
+
+    eng = Engine(spark, sf_dir)
+    dfs = {"l": eng.table("lineitem"), "o": eng.table("orders"),
+           "c": eng.table("customer")}
+    edges = [("l", "o", "l_orderkey", "o_orderkey"),
+             ("o", "c", "o_custkey", "c_custkey")]
+    order = physical_alias_order(eng.join_all(dfs, edges), dfs)
+    assert order is not None and set(order) == {"l", "o", "c"}
+    # broadcast build sides (the dims) precede the streamed fact
+    assert order[-1] == "l", order
+
+
+def test_catalyst_order_self_join_falls_back(spark, sf_dir):
+    """A self-join re-aliases one side's exprIds; resolution must return
+    None (caller falls back to declaration order), never a guess."""
+    from duckdb_robust_predicate_transfer_spark.engine import Engine
+    from duckdb_robust_predicate_transfer_spark.plans.catalyst_order import (
+        physical_alias_order)
+
+    eng = Engine(spark, sf_dir)
+    n = eng.table("nation")
+    n2 = n.withColumnRenamed("n_nationkey", "n2_nationkey")
+    joined = n.join(n2, n.n_regionkey == n2.n_regionkey)
+    assert physical_alias_order(joined, {"a": n, "b": n2}) is None
