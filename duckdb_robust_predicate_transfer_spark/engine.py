@@ -52,6 +52,9 @@ class Rel:
     name: str
     filter: "str | Column | None" = None
     df: "DataFrame | None" = None  # override: pre-built relation
+    #: the override df already carries a local filter (so the rewrite may
+    #: treat it as selective even though ``filter`` is None)
+    prefiltered: bool = False
 
 
 def _norm_cols(c) -> tuple:
@@ -87,9 +90,79 @@ class Engine:
 
     t = table
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, auto_rpt: bool = True,
+            config: RPTConfig | None = None) -> DataFrame:
+        """Run SQL with automatic predicate transfer.
+
+        The reference's optimizer hook rewrites any statement with more
+        than one eligible join edge, no user involvement
+        (rpt_optimizer.cpp:1702-1722). Here: analyze the query, extract
+        the join graph from the Catalyst analyzed plan
+        (plans/extract.py), run the standard ``reduce`` over the
+        extracted relations, then re-run the same SQL with temp views
+        shadowed by their reduced DataFrames. Reduction only removes
+        rows the query's own joins/filters would drop, and re-applied
+        deterministic WHERE clauses are idempotent, so results are
+        identical — the reference's core invariant (README.md:21).
+
+        Any extraction bail-out (unsupported construct, <=2 edges after
+        gating, no instance actually reduced) returns the plain result.
+        """
         self.catalog.register_views()
-        return self.spark.sql(query)
+        df = self.spark.sql(query)
+        cfg = (config or self.config).validate()
+        if not auto_rpt or not cfg.enabled or self.catalog is None:
+            return df
+        out = self._auto_transfer_sql(query, df, cfg)
+        return out if out is not None else df
+
+    def _auto_transfer_sql(self, query: str, df: DataFrame,
+                           cfg: RPTConfig) -> "DataFrame | None":
+        import os
+
+        from .catalog import TABLES
+        from .plans.extract import extract_join_graph
+
+        known = {t for t in TABLES
+                 if os.path.exists(self.catalog.path(t))}
+        ext = extract_join_graph(df, known)
+        if ext is None or len(ext.edges) <= 1:
+            return None
+        # at least one relation must be substitutable (single-occurrence
+        # table) for the rewrite to have any effect — e.g. a pure
+        # self-join offers nothing to shadow
+        if not any(ext.occurrences(i.table) == 1 and not i.protected
+                   for i in ext.instances.values()):
+            return None
+
+        rels: dict = {}
+        for alias, inst in ext.instances.items():
+            d = self.table(inst.table).alias(alias)
+            for f in inst.filters:
+                d = d.filter(f)
+            rels[alias] = Rel(inst.table, df=d,
+                              prefiltered=bool(inst.filters))
+        self.last_result = None
+        red = self.reduce(rels, ext.edges, cfg)
+        if self.last_result is None:
+            return None  # planner bailed (gates / <=1 edge)
+
+        # shadow each single-occurrence table whose relation the rewrite
+        # actually reduced, re-analyze the same SQL against the shadows,
+        # then restore the original views (analysis is eager, so the
+        # returned DataFrame keeps the reduced plan)
+        shadowed = False
+        try:
+            for alias, inst in ext.instances.items():
+                if (ext.occurrences(inst.table) == 1
+                        and red[alias] is not rels[alias].df):
+                    red[alias].createOrReplaceTempView(inst.table)
+                    shadowed = True
+            if not shadowed:
+                return None
+            return self.spark.sql(query)
+        finally:
+            self.catalog.register_views()
 
     # -- the rewrite ---------------------------------------------------
 
@@ -109,10 +182,16 @@ class Engine:
                 spec = Rel(alias, df=spec)
             df = spec.df if spec.df is not None else self.table(spec.name)
             base_rows = 0.0
-            if spec.df is None and self.catalog is not None:
-                base_rows = float(self.catalog.row_count(spec.name))
+            if self.catalog is not None:
+                try:
+                    # footer stats apply to df overrides too when they are
+                    # (filtered) base tables, e.g. the auto-SQL path
+                    base_rows = float(self.catalog.row_count(spec.name))
+                except Exception:
+                    base_rows = 0.0
             if spec.filter is not None:
                 df = df.filter(spec.filter)
+            if spec.filter is not None or spec.prefiltered:
                 filtered.add(alias)
                 base_rows *= FILTER_SELECTIVITY
             dfs[alias] = df

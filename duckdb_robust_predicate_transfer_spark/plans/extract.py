@@ -1,0 +1,271 @@
+"""Automatic join-graph extraction from Catalyst analyzed plans.
+
+The reference rewrites *any* SQL statement with more than one eligible
+join edge, with no user involvement: its optimizer-extension hook walks
+DuckDB's logical plan, collecting base-table units and equi-join
+conditions into a graph (ExtractOperators / CreateJoinEdges,
+rpt_optimizer.cpp:25-139, :168-213, hook at :1702-1722). This module is
+the PySpark analogue: given any DataFrame, traverse
+``queryExecution().analyzed()`` through py4j and harvest
+
+- base-relation *instances*: a ``SubqueryAlias`` chain ending in a
+  registered view / parquet relation,
+- local filters: deterministic ``Filter``/``ON`` conjuncts whose
+  attribute references all land in one instance (rendered back to SQL
+  with ``Expression.sql()``), and
+- equi-join edges: ``attrA = attrB`` conjuncts whose sides land in two
+  different instances — from join conditions (inner/left/right/semi)
+  and from WHERE conjuncts (which enforce inner semantics regardless of
+  the join shape beneath).
+
+Everything is fail-safe: any node class outside a conservative
+allowlist, any subquery expression, or any resolution miss returns
+``None`` and the caller runs the query un-rewritten — exactly the
+"extension not loaded" baseline. The traversal never launches a job;
+the analyzed plan is pure metadata.
+
+Correctness argument for the caller's view-substitution replay: a
+semi-join reduction only ever removes build-non-matching rows, which
+the query's own joins/filters would drop anyway; deterministic WHERE
+re-application is idempotent. The one construct where removed rows
+could *resurrect* output (null-extension of a FULL OUTER JOIN's other
+side) is poisoned: every leaf beneath a full-outer join is barred from
+reduction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from .ir import JoinEdge
+
+#: logical-plan node classes the walk may pass through. Anything else
+#: (WithCTE, Sample, scripting nodes, ...) aborts extraction: we only
+#: rewrite plans whose semantics we can vouch for.
+_PASS_NODES = {
+    "Project", "Filter", "Join", "Aggregate", "Sort", "SubqueryAlias",
+    "GlobalLimit", "LocalLimit", "Offset", "Distinct", "Deduplicate",
+    "Window", "Generate", "Union", "Intersect", "Except", "Expand",
+    "Repartition", "RepartitionByExpression", "WithWindowDefinition",
+}
+
+#: Catalyst Join.joinType().toString() -> JoinEdge.how for edges whose
+#: keys we may harvest. FULL OUTER is handled by subtree poisoning;
+#: LeftAnti's right-side attributes cannot escape the join, so no edge
+#: is ever harvestable from it and it needs no entry.
+_JOIN_HOW = {
+    "Inner": "inner",
+    "Cross": "inner",
+    "LeftOuter": "left",
+    "RightOuter": "right",
+    "LeftSemi": "left_semi",
+}
+
+_LEAF_RELATIONS = {"LogicalRelation", "DataSourceV2Relation",
+                   "HiveTableRelation"}
+
+_SUBQUERY_EXPRS = {"ScalarSubquery", "ListQuery", "Exists", "InSubquery",
+                   "LateralSubquery", "DynamicPruningSubquery"}
+
+
+class _Unsupported(Exception):
+    pass
+
+
+@dataclass
+class LeafInstance:
+    """One occurrence of a base table in the plan."""
+
+    alias: str            #: outermost SubqueryAlias name (SQL alias)
+    table: str            #: registered table / view name
+    col_by_id: dict       #: output exprId -> column name
+    filters: list = field(default_factory=list)  #: conjunct SQL strings
+    protected: bool = False  #: under a FULL OUTER join -> never reduce
+
+
+@dataclass
+class Extraction:
+    instances: dict  #: alias -> LeafInstance
+    edges: list      #: list[JoinEdge] between instance aliases
+
+    def occurrences(self, table: str) -> int:
+        return sum(1 for i in self.instances.values() if i.table == table)
+
+
+def _cls(jobj) -> str:
+    return jobj.getClass().getSimpleName()
+
+
+def _jseq(seq) -> list:
+    return [seq.apply(i) for i in range(seq.size())]
+
+
+def _conjuncts(expr) -> list:
+    if _cls(expr) == "And":
+        return _conjuncts(expr.left()) + _conjuncts(expr.right())
+    return [expr]
+
+
+def _scan_expr(expr, attr_ids: list) -> None:
+    """Collect AttributeReference exprIds; reject subquery expressions."""
+    c = _cls(expr)
+    if c in _SUBQUERY_EXPRS or "Subquery" in c:
+        raise _Unsupported("subquery expression")
+    if c == "AttributeReference":
+        attr_ids.append(expr.exprId().id())
+        return
+    for child in _jseq(expr.children()):
+        _scan_expr(child, attr_ids)
+
+
+def _leaf_of(node, known_tables: set):
+    """(outer_alias, table) if ``node`` roots a base-relation chain.
+
+    Accepts ``SubqueryAlias+ -> (View -> ... | relation)``. A Project
+    *between* the alias and the View is a query-level rename (a derived
+    subquery) — rejected, so the walk descends and registers the deeper
+    relation instead; the View's own body (e.g. the catalog's events
+    timestamp conversion) is part of the table definition and is fine.
+    """
+    names = []
+    cur = node
+    while _cls(cur) == "SubqueryAlias":
+        names.append(cur.alias())
+        kids = _jseq(cur.children())
+        if len(kids) != 1:
+            return None
+        cur = kids[0]
+    if not names:
+        return None
+    c = _cls(cur)
+    if c != "View" and c not in _LEAF_RELATIONS:
+        return None
+    table = names[-1]
+    if table not in known_tables:
+        return None
+    return names[0], table
+
+
+class _Walker:
+    def __init__(self, known_tables: set):
+        self.known = known_tables
+        self.instances: dict = {}
+        self.id_map: dict = {}    # exprId -> (alias, col name)
+        self.edges: list = []
+
+    # -- condition harvesting -------------------------------------------
+
+    def _attach(self, conjunct, how: str | None,
+                left_set: set, right_set: set) -> None:
+        """Route one conjunct: equi edge, local filter, or ignore."""
+        c = _cls(conjunct)
+        if c == "EqualTo":
+            ids_l: list = []
+            ids_r: list = []
+            _scan_expr(conjunct.left(), ids_l)
+            _scan_expr(conjunct.right(), ids_r)
+            if (len(ids_l) == 1 and len(ids_r) == 1
+                    and _cls(conjunct.left()) == "AttributeReference"
+                    and _cls(conjunct.right()) == "AttributeReference"):
+                a = self.id_map.get(ids_l[0])
+                b = self.id_map.get(ids_r[0])
+                if a and b and a[0] != b[0]:
+                    if how is None:
+                        # WHERE-clause equality enforces inner semantics
+                        self.edges.append(
+                            JoinEdge(a[0], b[0], (a[1],), (b[1],), "inner"))
+                        return
+                    # join-condition edge: orient to the join's sides
+                    if a[0] in right_set and b[0] in left_set:
+                        a, b = b, a
+                    if a[0] in left_set and b[0] in right_set:
+                        self.edges.append(
+                            JoinEdge(a[0], b[0], (a[1],), (b[1],), how))
+                    return
+        # not a usable equi pair: try attaching as a local filter
+        ids: list = []
+        _scan_expr(conjunct, ids)
+        owners = {self.id_map[i][0] for i in ids if i in self.id_map}
+        if len(owners) == 1 and len(ids) > 0 and conjunct.deterministic():
+            alias = owners.pop()
+            inst = self.instances.get(alias)
+            if inst is not None and all(i in self.id_map for i in ids):
+                inst.filters.append(conjunct.sql())
+
+    def _single_attach(self, conjunct) -> None:
+        """EqualTo within one instance is a local filter, not an edge."""
+        self._attach(conjunct, None, set(), set())
+
+    # -- plan traversal -------------------------------------------------
+
+    def walk(self, node) -> set:
+        """Returns the set of instance aliases in this subtree."""
+        c = _cls(node)
+        leaf = _leaf_of(node, self.known) if c == "SubqueryAlias" else None
+        if leaf is not None:
+            alias, table = leaf
+            if alias in self.instances:
+                raise _Unsupported(f"duplicate alias {alias}")
+            col_by_id = {a.exprId().id(): a.name()
+                         for a in _jseq(node.output())}
+            self.instances[alias] = LeafInstance(alias, table, col_by_id)
+            self.id_map.update(
+                {i: (alias, n) for i, n in col_by_id.items()})
+            return {alias}
+
+        if c == "Join":
+            kids = _jseq(node.children())
+            left_set = self.walk(kids[0])
+            right_set = self.walk(kids[1])
+            jt = node.joinType().toString()
+            cond = node.condition()
+            conjs = (_conjuncts(cond.get()) if cond.isDefined() else [])
+            if jt == "FullOuter":
+                for alias in left_set | right_set:
+                    self.instances[alias].protected = True
+            how = _JOIN_HOW.get(jt)
+            for conj in conjs:
+                if how is not None:
+                    self._attach(conj, how, left_set, right_set)
+                else:
+                    # full/anti conditions are replayed by the query
+                    # itself — but still reject hidden subqueries
+                    _scan_expr(conj, [])
+            return left_set | right_set
+
+        if c not in _PASS_NODES:
+            raise _Unsupported(c)
+
+        sub: set = set()
+        for kid in _jseq(node.children()):
+            sub |= self.walk(kid)
+
+        if c == "Filter":
+            for conj in _conjuncts(node.condition()):
+                self._attach(conj, None, set(), set())
+        else:
+            # reject plans hiding subquery expressions anywhere else
+            for e in _jseq(node.expressions()):
+                _scan_expr(e, [])
+        return sub
+
+
+def extract_join_graph(df: DataFrame, known_tables: set) -> Extraction | None:
+    """Best-effort join-graph extraction; None = run un-rewritten."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        w = _Walker(set(known_tables))
+        w.walk(plan)
+        # drop edges touching protected (full-outer) instances
+        edges = [e for e in w.edges
+                 if not w.instances[e.left].protected
+                 and not w.instances[e.right].protected]
+        if not edges:
+            return None
+        return Extraction(instances=w.instances, edges=edges)
+    except _Unsupported:
+        return None
+    except Exception:
+        return None

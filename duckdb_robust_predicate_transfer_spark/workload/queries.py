@@ -110,6 +110,17 @@ def q_star_join_rpt(spark, sf_dir, config=None):
         F.count(F.lit(1)).alias("cnt"), dsum(revenue_col(), "revenue"))
 
 
+@query("q_sql_auto_rpt", oracle=FLAGSHIP_ORACLE)
+def q_sql_auto_rpt(spark, sf_dir, config=None):
+    """The flagship star join as a plain SQL string: the join graph is
+    auto-extracted from the Catalyst analyzed plan and rewritten with
+    no hand-declared relations or edges — the analogue of the
+    reference's optimizer-extension hook rewriting arbitrary statements
+    (rpt_optimizer.cpp:25-139, hook :1702-1722). The oracle is the
+    *same* SQL text, so this also proves rewrite == no-rewrite."""
+    return eng(spark, sf_dir, config).sql(FLAGSHIP_ORACLE)
+
+
 @query(
     "q_snowflake_agg",
     oracle=f"""

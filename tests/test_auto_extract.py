@@ -1,0 +1,192 @@
+"""Automatic join-graph extraction from Catalyst analyzed plans.
+
+The reference rewrites arbitrary SQL through its optimizer hook with no
+user-declared join graph (rpt_optimizer.cpp:25-139, :1702-1722). These
+tests pin the PySpark analogue (plans/extract.py + Engine.sql):
+extraction fidelity, the rewrite==no-rewrite invariant on SQL input,
+and — just as important — the conservative bail-outs on constructs the
+extractor cannot prove safe.
+"""
+
+import pytest
+
+from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
+from duckdb_robust_predicate_transfer_spark.plans.extract import (
+    extract_join_graph)
+
+KNOWN = {"region", "nation", "customer", "supplier", "part",
+         "orders", "lineitem", "events", "documents", "embeddings"}
+
+FLAGSHIP_SQL = """
+    SELECT n_name, COUNT(*) AS cnt
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+"""
+
+#: zeroed gates => the cascade actually runs at sf0.001 scale
+FORCE = RPTConfig(min_probe_rows=0, require_selective_build=False,
+                  backward_min_probe_rows=0, persist_min_rows=0)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def eng(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+def test_extract_flagship_graph(eng):
+    df = eng.sql(FLAGSHIP_SQL, auto_rpt=False)
+    ext = extract_join_graph(df, KNOWN)
+    assert ext is not None
+    assert {a: i.table for a, i in ext.instances.items()} == {
+        t: t for t in ("lineitem", "orders", "customer", "nation", "region")}
+    got = {(e.left, e.right, e.left_cols, e.right_cols, e.how)
+           for e in ext.edges}
+    assert got == {
+        ("lineitem", "orders", ("l_orderkey",), ("o_orderkey",), "inner"),
+        ("orders", "customer", ("o_custkey",), ("c_custkey",), "inner"),
+        ("customer", "nation", ("c_nationkey",), ("n_nationkey",), "inner"),
+        ("nation", "region", ("n_regionkey",), ("r_regionkey",), "inner"),
+    }
+    # WHERE conjuncts attach to their single owning instance
+    assert ext.instances["region"].filters
+    assert ext.instances["orders"].filters
+    assert not ext.instances["lineitem"].filters
+
+
+def test_extract_sql_alias_and_on_clause_filter(eng):
+    df = eng.sql("""
+        SELECT o.o_orderstatus, COUNT(*) AS cnt
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                      AND o.o_orderstatus = 'F'
+        GROUP BY o.o_orderstatus
+    """, auto_rpt=False)
+    ext = extract_join_graph(df, KNOWN)
+    assert ext is not None
+    assert ext.instances["l"].table == "lineitem"
+    assert ext.instances["o"].table == "orders"
+    # single-instance ON conjunct becomes a local filter on o
+    assert any("o_orderstatus" in f for f in ext.instances["o"].filters)
+    assert [(e.left_cols, e.right_cols) for e in ext.edges] == [
+        (("l_orderkey",), ("o_orderkey",))]
+
+
+def test_extract_comma_join_where_equality(eng):
+    """Equality in WHERE over a cross join is harvested as an inner edge."""
+    df = eng.sql("""
+        SELECT COUNT(*) AS cnt
+        FROM nation, region
+        WHERE n_regionkey = r_regionkey AND r_name = 'ASIA'
+    """, auto_rpt=False)
+    ext = extract_join_graph(df, KNOWN)
+    assert ext is not None
+    assert [(e.left, e.right, e.how) for e in ext.edges] == [
+        ("nation", "region", "inner")]
+
+
+def test_extract_bails_on_subquery_expression(eng):
+    df = eng.sql("""
+        SELECT COUNT(*) AS cnt FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """, auto_rpt=False)
+    assert extract_join_graph(df, KNOWN) is None
+
+
+def test_extract_full_outer_is_protected(eng):
+    df = eng.sql("""
+        SELECT COUNT(*) AS cnt
+        FROM nation FULL OUTER JOIN region ON n_regionkey = r_regionkey
+    """, auto_rpt=False)
+    # the only edge touches a protected instance -> nothing to extract
+    assert extract_join_graph(df, KNOWN) is None
+
+
+def test_extract_derived_subquery_blocks_edge(eng):
+    """A projection-renaming subquery is not a base leaf: the deeper
+    relation registers, but no edge crosses the rename boundary."""
+    df = eng.sql("""
+        SELECT COUNT(*) AS cnt
+        FROM (SELECT o_orderkey + 0 AS k FROM orders) x
+        JOIN lineitem ON x.k = l_orderkey
+    """, auto_rpt=False)
+    ext = extract_join_graph(df, KNOWN)
+    assert ext is None or all(
+        i.table != "orders" or not ext.edges for i in ext.instances.values())
+
+
+def test_sql_auto_matches_plain_and_declared(eng, spark, sf_dir):
+    plain = _rows(eng.sql(FLAGSHIP_SQL, auto_rpt=False))
+    auto = _rows(eng.sql(FLAGSHIP_SQL, config=FORCE))
+    assert eng.last_result is not None, "rewrite should have applied"
+    assert auto == plain
+    # and equals the hand-declared graph's result
+    e2 = Engine(spark, sf_dir, FORCE)
+    j = e2.reduce_and_join(
+        {"l": "lineitem",
+         "o": Rel("orders", "o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"),
+         "c": "customer", "n": "nation",
+         "rg": Rel("region", "r_name = 'ASIA'")},
+        [("l", "o", "l_orderkey", "o_orderkey"),
+         ("o", "c", "o_custkey", "c_custkey"),
+         ("c", "n", "c_nationkey", "n_nationkey"),
+         ("n", "rg", "n_regionkey", "r_regionkey")])
+    from pyspark.sql import functions as F
+    declared = _rows(j.groupBy("n_name").agg(F.count(F.lit(1)).alias("cnt")))
+    assert auto == declared
+
+
+def test_sql_auto_semi_and_outer_differential(eng):
+    for sql in [
+        """SELECT c_name FROM customer LEFT SEMI JOIN orders
+           ON c_custkey = o_custkey AND o_orderstatus = 'F'""",
+        """SELECT n_name, o_orderkey FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           LEFT JOIN nation ON c_nationkey = n_nationkey AND n_name = 'JAPAN'
+           WHERE o_orderstatus = 'F'""",
+    ]:
+        assert _rows(eng.sql(sql, config=FORCE)) == \
+            _rows(eng.sql(sql, auto_rpt=False))
+
+
+def test_sql_auto_single_join_unchanged(eng):
+    """<=1 edge: the reference bails unchanged (rpt_optimizer.cpp:
+    1592-1595); the auto path must return the plain result."""
+    sql = """SELECT COUNT(*) AS cnt FROM lineitem
+             JOIN orders ON l_orderkey = o_orderkey"""
+    eng.last_result = None
+    out = eng.sql(sql, config=FORCE)
+    assert eng.last_result is None
+    assert _rows(out) == _rows(eng.sql(sql, auto_rpt=False))
+
+
+def test_sql_auto_self_join_differential(eng):
+    """Self-joined tables occur twice and must never be shadowed (each
+    instance would need a different reduction); the result is identical
+    either way."""
+    sql = """
+        SELECT a.n_name AS n1, b.n_name AS n2
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+        JOIN region ON a.n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+    """
+    assert _rows(eng.sql(sql, config=FORCE)) == \
+        _rows(eng.sql(sql, auto_rpt=False))
+
+
+def test_sql_auto_non_join_queries_pass_through(eng):
+    for sql in ["SELECT COUNT(*) AS c FROM lineitem",
+                "SELECT r_name FROM region ORDER BY r_name LIMIT 2"]:
+        assert _rows(eng.sql(sql)) == _rows(eng.sql(sql, auto_rpt=False))
