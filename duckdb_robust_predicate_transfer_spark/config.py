@@ -53,6 +53,15 @@ class RPTConfig:
     #: skip transfer from build sides estimated larger than this unless they
     #: carry a filter (bounded-downside gate; the Robust paper's point)
     max_unfiltered_build_rows: int = 50_000_000
+    #: skip the whole transfer when every relation except the largest is
+    #: small enough to broadcast (estimated rows after local filters): the
+    #: final join is then a chain of broadcast hash joins — ONE pass over
+    #: the fact table with zero shuffles — which no transfer op can beat
+    #: (each op adds at least one job). ~400k rows ≈ Spark's 10 MB
+    #: autoBroadcastJoinThreshold at ~25 B/row. 0 disables the bail-out.
+    #: This is the robustness margin for small scale factors; at cluster
+    #: scale the mid tables blow past it and the cascade engages.
+    all_broadcast_bail_rows: int = 400_000
     #: transfer only into probes at least this big: each op costs a real
     #: Spark exchange, which a small probe's final join already beats.
     #: Scale-adaptive: at cluster scale every big table clears the bar and

@@ -206,6 +206,13 @@ class Engine:
         # (rpt_optimizer.cpp:1592-1595)
         if not cfg.enabled or graph.n_edges() <= 1:
             return dfs
+        # all-broadcast bail-out: when every relation but the largest fits
+        # a broadcast, Catalyst's plan is already optimal (one fact pass,
+        # no shuffle) and any transfer op is pure overhead
+        if cfg.all_broadcast_bail_rows > 0 and len(rows_est) >= 2:
+            ordered = sorted(rows_est.values())
+            if ordered[-2] <= cfg.all_broadcast_bail_rows:
+                return dfs
 
         if cfg.heuristic == "largest_root":
             tree = largest_root_tree(graph)

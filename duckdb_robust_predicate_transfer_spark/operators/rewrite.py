@@ -42,6 +42,13 @@ _MINMAX_TYPES = (
     "float", "double", "date", "timestamp", "timestamp_ntz", "string",
 )
 
+#: estimated fraction of probe rows surviving one key-filter application.
+#: Propagating this through the schedule is what lets a mid table reduced
+#: by a selective dim qualify for the broadcast-key path on its own
+#: downstream CREATE (the reference propagates estimated cardinality
+#: through CREATE_BF the same way, table_manager.cpp:64-69).
+REDUCTION_DECAY = 0.2
+
 
 @dataclass
 class StepStat:
@@ -231,6 +238,8 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
 
         reduced.add(op.probe)
         epochs[op.probe] = epochs.get(op.probe, 0) + 1
+        if op.probe in rows_est:
+            rows_est[op.probe] *= REDUCTION_DECAY
         if cfg.profiling:
             st.rows_out = dfs[op.probe].count()
         res.stats.append(st)

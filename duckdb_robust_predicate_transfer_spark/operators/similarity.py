@@ -71,45 +71,24 @@ def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
             .select(id_col, F.expr(sig).alias("sig"), vec_col))
 
 
+def _one_query_df(spark, query_vec) -> DataFrame:
+    return spark.createDataFrame(
+        [(0, [float(x) for x in query_vec])], "qid bigint, qv array<double>")
+
+
 def lsh_topk(corpus: DataFrame, query_vec: list, id_col: str = "vec_id",
              vec_col: str = "embedding", k: int = 10,
              n_planes: int = 16, n_bands: int = 4, seed: int = 7
              ) -> DataFrame:
-    """ANN top-k: probe only corpus vectors sharing at least one
-    signature band with the query. Recall < 1 by design; the candidate
-    set (not the corpus) bounds the exact-rescore cost."""
-    import json
-
-    sigs = hyperplane_signature(corpus, id_col, vec_col, n_planes, seed)
-    r = n_planes // n_bands
-    mask = (1 << r) - 1
-    bands = sigs.select(
-        id_col, vec_col,
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {n_bands - 1}),"
-            f" b -> shiftright(sig, b * {r}) & {mask}L)"
-        )).alias("band_id", "band_val"))
-
-    qdf = sigs.sparkSession.createDataFrame([(list(query_vec),)], ["qv"])
-    qsig = hyperplane_signature(
-        qdf.select(F.lit(0).alias("qid"), F.expr(
-            "transform(qv, x -> cast(x as float))").alias(vec_col)),
-        "qid", vec_col, n_planes, seed)
-    qbands = qsig.select(F.posexplode(F.expr(
-        f"transform(sequence(0, {n_bands - 1}),"
-        f" b -> shiftright(sig, b * {r}) & {mask}L)"
-    )).alias("band_id", "band_val"))
-
-    cand = (bands.join(F.broadcast(qbands), ["band_id", "band_val"])
-            .select(id_col, vec_col).distinct())
-    qlit = F.expr("from_json('" + json.dumps([float(x) for x in query_vec])
-                  + "', 'array<double>')")
-    return (cand.withColumn("ed", as_double(vec_col))
-            .withColumn("qd", qlit)
-            .withColumn("cos_sim", cosine_sim("ed", "qd"))
+    """ANN top-k for one query vector: the batch band-bucket path with a
+    1-row query set (no driver-side step beyond shipping the vector
+    itself). Recall < 1 by design; the candidate set (not the corpus)
+    bounds the exact-rescore cost."""
+    q = _one_query_df(corpus.sparkSession, query_vec)
+    return (lsh_topk_batch(corpus, q, id_col, vec_col, "qid", "qv",
+                           k, n_planes, n_bands, seed)
             .select(id_col, "cos_sim")
-            .orderBy(F.col("cos_sim").desc(), id_col)
-            .limit(k))
+            .orderBy(F.col("cos_sim").desc(), id_col))
 
 
 def brute_force_topk_batch(corpus: DataFrame, queries: DataFrame,
@@ -224,28 +203,16 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
 def ivf_topk(corpus: DataFrame, query_vec: list, id_col: str = "vec_id",
              vec_col: str = "embedding", k: int = 10,
              n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
-    """IVF approximate top-k: rank centroids against the query, scan
-    only the ``nprobe`` nearest inverted lists, exact-rescore the
-    candidates. The scan cost drops from |corpus| to
-    ~|corpus| * nprobe / n_centroids."""
-    import json
-
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-    qlit = F.expr("from_json('" + json.dumps([float(x) for x in query_vec])
-                  + "', 'array<double>')")
-    probe_ids = [r["centroid_id"] for r in
-                 (cents.withColumn("qd", qlit)
-                  .withColumn("sim", cosine_sim("cd", "qd"))
-                  .orderBy(F.col("sim").desc()).limit(nprobe)
-                  .select("centroid_id").collect())]
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
-    cand = assigned.filter(F.col("centroid_id").isin(probe_ids))
-    return (cand.withColumn("ed", as_double(vec_col))
-            .withColumn("qd", qlit)
-            .withColumn("cos_sim", cosine_sim("ed", "qd"))
+    """IVF approximate top-k for one query vector: the fully
+    distributed batch path with a 1-row query set — centroid ranking,
+    inverted-list probe and exact rescore all stay inside the plan (the
+    earlier formulation collected the probe-centroid list to the
+    driver). Scan cost ~|corpus| * nprobe / n_centroids."""
+    q = _one_query_df(corpus.sparkSession, query_vec)
+    return (ivf_topk_batch(corpus, q, id_col, vec_col, "qid", "qv",
+                           k, n_centroids, nprobe)
             .select(id_col, "cos_sim")
-            .orderBy(F.col("cos_sim").desc(), id_col)
-            .limit(k))
+            .orderBy(F.col("cos_sim").desc(), id_col))
 
 
 def ivf_topk_batch(corpus: DataFrame, queries: DataFrame,

@@ -55,13 +55,25 @@ def salted_join(probe: DataFrame, build: DataFrame, probe_key: str,
 
 
 def detect_hot_keys(df: DataFrame, key: str, top_n: int = 20,
-                    min_share: float = 0.01) -> list:
-    """Keys holding more than ``min_share`` of the rows (approximate:
-    count over a single aggregation — at scale run it on a sample).
-    One small collect of at most ``top_n`` values; the result feeds
-    ``salted_join(hot_keys=...)``."""
-    total = df.count()
-    rows = (df.groupBy(key).count()
+                    min_share: float = 0.01,
+                    sample_fraction: float = 0.01, seed: int = 42) -> list:
+    """Keys holding more than ``min_share`` of the rows, estimated from
+    a ``sample_fraction`` sample of the single projected key column —
+    never a full pass over the table. A key owning >=1% of 100 TB
+    appears in a 1% sample tens of thousands of times, so the binomial
+    error on its share is negligible; rare keys missed by the sample
+    are by definition not hot. One small collect of at most ``top_n``
+    values; the result feeds ``salted_join(hot_keys=...)``.
+
+    The join result is identical whichever keys are (not) salted, so
+    sampling noise can never change correctness — only partitioning.
+    """
+    s = df.select(key).sample(fraction=sample_fraction, seed=seed)
+    total = s.count()
+    if total == 0:
+        return []
+    rows = (s.groupBy(key).count()
             .filter(F.col("count") >= max(1.0, min_share * total))
-            .orderBy(F.col("count").desc()).limit(top_n).collect())
+            .orderBy(F.col("count").desc(), F.col(key)).limit(top_n)
+            .collect())
     return [r[0] for r in rows]

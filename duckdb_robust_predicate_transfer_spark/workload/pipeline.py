@@ -465,7 +465,8 @@ def q_dedup_simhash(spark, sf_dir):
     "q_embed_neardup_exact",
     oracle="""
     WITH e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      WHERE vec_id < 1000)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(a.v, b.v)
                  / (sqrt(list_dot_product(a.v, a.v))
@@ -477,11 +478,15 @@ def q_dedup_simhash(spark, sf_dir):
     """,
 )
 def q_embed_neardup_exact(spark, sf_dir):
-    """Exact all-pairs cosine near-dup (the LSH variant's ground truth)."""
+    """Exact all-pairs cosine near-dup over an EXPLICIT sample
+    (vec_id < 1000): ground truth for the LSH variant. The quadratic
+    pair space is the point of the query, so it must be bounded by
+    construction — the scale path is q_embed_neardup_lsh's bucketed
+    band join, never this."""
     from ..operators.similarity import cosine_sim
 
     e = eng(spark, sf_dir)
-    emb = e.table("embeddings")
+    emb = e.table("embeddings").filter(F.col("vec_id") < 1000)
     a = emb.select(F.col("vec_id").alias("id_a"),
                    F.expr("transform(embedding, x -> cast(x as double))").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"),
@@ -503,14 +508,19 @@ def q_embed_neardup_lsh(spark, sf_dir):
 
 @query("q_ann_lsh_topk")  # approximate => rows-only
 def q_ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate nearest neighbours for one query vector."""
-    from ..operators.similarity import lsh_topk
+    """LSH-bucketed approximate nearest neighbours for one query vector.
+    The query vector stays a DataFrame end-to-end (no .collect()): the
+    batch band-bucket path runs with a 1-row broadcast query set."""
+    from ..operators.similarity import as_double, lsh_topk_batch
 
     e = eng(spark, sf_dir)
-    qv = (e.table("embeddings").filter(F.col("vec_id") == 0)
-          .select("embedding").collect()[0][0])
-    return lsh_topk(e.table("embeddings").filter(F.col("vec_id") != 0),
-                    [float(x) for x in qv], k=10, n_planes=16, n_bands=8)
+    emb = e.table("embeddings")
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("qid"), as_double().alias("qv")))
+    return (lsh_topk_batch(emb.filter(F.col("vec_id") != 0), q,
+                           k=10, n_planes=16, n_bands=8)
+            .select("vec_id", "cos_sim")
+            .orderBy(F.col("cos_sim").desc(), "vec_id"))
 
 
 @query("q_multimodal_features")  # stubbed decode => rows-only
@@ -553,15 +563,19 @@ def q_events_json(spark, sf_dir):
 @query("q_ann_ivf_topk")  # approximate (hash-sampled centroids) => rows-only
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbours: hash-sampled centroids,
-    inverted-list assignment, nprobe-bounded scan + exact rescore
-    (operators/similarity.py:ivf_topk)."""
-    from ..operators.similarity import ivf_topk
+    inverted-list assignment, nprobe-bounded scan + exact rescore.
+    Fully distributed — the query vector is a 1-row DataFrame into the
+    batch path, no .collect() anywhere in plan construction."""
+    from ..operators.similarity import as_double, ivf_topk_batch
 
     e = eng(spark, sf_dir)
-    qv = (e.table("embeddings").filter(F.col("vec_id") == 0)
-          .select("embedding").collect()[0][0])
-    return ivf_topk(e.table("embeddings").filter(F.col("vec_id") != 0),
-                    [float(x) for x in qv], k=10, n_centroids=16, nprobe=4)
+    emb = e.table("embeddings")
+    q = (emb.filter(F.col("vec_id") == 0)
+         .select(F.col("vec_id").alias("qid"), as_double().alias("qv")))
+    return (ivf_topk_batch(emb.filter(F.col("vec_id") != 0), q,
+                           k=10, n_centroids=16, nprobe=4)
+            .select("vec_id", "cos_sim")
+            .orderBy(F.col("cos_sim").desc(), "vec_id"))
 
 
 @query(
@@ -582,7 +596,8 @@ def q_skew_salted_join(spark, sf_dir):
 
     e = eng(spark, sf_dir)
     l, o = e.table("lineitem"), e.table("orders")
-    hot = detect_hot_keys(l, "l_orderkey", top_n=5, min_share=0.0005)
+    hot = detect_hot_keys(l, "l_orderkey", top_n=5, min_share=0.0005,
+                          sample_fraction=0.05)
     j = salted_join(l, o.select("o_orderkey", "o_orderpriority"),
                     "l_orderkey", "o_orderkey",
                     hot_keys=hot or None, n_salts=8)

@@ -110,6 +110,20 @@ def q_star_join_rpt(spark, sf_dir, config=None):
         F.count(F.lit(1)).alias("cnt"), dsum(revenue_col(), "revenue"))
 
 
+@query("q_star_join_forced", oracle=FLAGSHIP_ORACLE)
+def q_star_join_forced(spark, sf_dir):
+    """Flagship with zeroed cost gates — the reference's faithful
+    always-transfer behavior (it applies whenever the graph has >1 edge,
+    rpt_optimizer.cpp:1592-1595). Keeps the full forward+backward
+    semi-join cascade exercised by the driver correctness gate even at
+    scale factors where the scale-adaptive gates would bail out."""
+    from ..config import RPTConfig
+
+    cfg = RPTConfig(min_probe_rows=0, require_selective_build=False,
+                    backward_min_probe_rows=0, all_broadcast_bail_rows=0)
+    return q_star_join_rpt(spark, sf_dir, config=cfg)
+
+
 @query("q_sql_auto_rpt", oracle=FLAGSHIP_ORACLE)
 def q_sql_auto_rpt(spark, sf_dir, config=None):
     """The flagship star join as a plain SQL string: the join graph is

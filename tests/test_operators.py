@@ -40,7 +40,9 @@ def test_bloom_sketch_transfer_config(spark, sf_dir):
     cols = ["l_orderkey", "l_linenumber"]
     off = Engine(spark, sf_dir, RPTConfig(enabled=False))
     sketch = Engine(spark, sf_dir, RPTConfig(
-        use_sketch=True, sketch_threshold_rows=0, filter_type="bf_only"))
+        use_sketch=True, sketch_threshold_rows=0, filter_type="bf_only",
+        min_probe_rows=0, require_selective_build=False,
+        all_broadcast_bail_rows=0))
     a = sorted(tuple(r) for r in off.reduce_and_join(rels, edges).select(*cols).collect())
     b = sorted(tuple(r) for r in sketch.reduce_and_join(rels, edges).select(*cols).collect())
     assert a == b

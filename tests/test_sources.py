@@ -75,7 +75,8 @@ def test_external_df_feeds_engine(spark, sf_dir, tmp_path):
     nation_csv = src.read_csv(spark, p, schema=nation.schema)
 
     e = Engine(spark, sf_dir, RPTConfig(min_probe_rows=0,
-                                        require_selective_build=False))
+                                        require_selective_build=False,
+                                        all_broadcast_bail_rows=0))
     r = e.reduce_and_join(
         {"c": "customer", "n": Rel("nation", df=nation_csv),
          "rg": Rel("region", "r_name = 'ASIA'")},
