@@ -148,10 +148,14 @@ def main():
             return dt
 
         cascade_leg(off_cfg, False)  # untimed: page cache + codegen warmup
-        best = {"off": math.inf, "rpt": math.inf, "native_rf": math.inf}
+        best = {"off": math.inf, "rpt": math.inf, "rpt_sketch": math.inf,
+                "native_rf": math.inf}
         for _ in range(max(runs, 3)):
             best["off"] = min(best["off"], cascade_leg(off_cfg, False))
             best["rpt"] = min(best["rpt"], cascade_leg(None, False))
+            best["rpt_sketch"] = min(
+                best["rpt_sketch"],
+                cascade_leg(cascade.CASCADE_SKETCH_CONFIG, False))
             best["native_rf"] = min(best["native_rf"],
                                     cascade_leg(off_cfg, True))
         extra["cascade"] = {

@@ -214,6 +214,8 @@ class Engine:
             if ordered[-2] <= cfg.all_broadcast_bail_rows:
                 return dfs
 
+        import time as _time
+        t_plan = _time.perf_counter()
         if cfg.heuristic == "largest_root":
             tree = largest_root_tree(graph)
         elif cfg.heuristic == "catalyst":
@@ -246,7 +248,10 @@ class Engine:
             print(render_tree(tree, rows_est))
             print(plan.describe())
 
+        planning_ms = (_time.perf_counter() - t_plan) * 1e3
+
         res = apply_transfer(dfs, rows_est, filtered, plan, cfg)
+        res.planning_ms = planning_ms
         if cfg.profiling:
             # the reference prints its per-op summary at QueryEnd when
             # rpt_profiling is set (rpt_profiling.hpp:114-216)

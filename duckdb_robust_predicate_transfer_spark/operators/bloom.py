@@ -44,33 +44,68 @@ def _positions(h: np.ndarray, m_bits: int) -> np.ndarray:
     return ((h1 + i * h2) % np.uint64(m_bits)).astype(np.int64)
 
 
-def build_bloom(df: DataFrame, cols, est_rows: float) -> bytes:
-    """Distributed Bloom build: one bitmap per partition, OR-merged at
-    the driver. The shuffle-free analogue of PhysicalCreateBF's
-    thread-local sinks + Combine (physical_create_bf.cpp:201-275)."""
-    m_bits = _size_bits(est_rows)
+def _or_bitmaps(a: bytes, b) -> bytes:
+    """OR-combine two serialized bitmaps (b may be a (bytes, count) seq
+    element or another accumulator)."""
+    bm = b[0] if isinstance(b, tuple) else b
+    return (np.frombuffer(a, dtype=np.uint8)
+            | np.frombuffer(bm, dtype=np.uint8)).tobytes()
+
+
+def _build_once(hashes: DataFrame, m_bits: int) -> tuple:
+    """One distributed build pass -> (bitmap bytes, observed row count).
+
+    Per-partition numpy bitmaps (the analogue of PhysicalCreateBF's
+    thread-local sinks, physical_create_bf.cpp:201-275) are OR-merged
+    with ``treeAggregate`` so combining happens on EXECUTORS: with P
+    partitions and an m/8-byte filter the driver receives ~sqrt(P)
+    bitmaps at depth 2 (~P^(1/3) at depth 3), never P of them — at 10k
+    partitions x 8 MB a driver-side collect would be 80 GB."""
     n_bytes = m_bits // 8
-    hashes = df.select(F.xxhash64(*cols).alias("h"))
 
     def per_partition(it):
         import pandas as pd
 
         bitmap = np.zeros(n_bytes, dtype=np.uint8)
-        any_rows = False
+        n = 0
         for pdf in it:
             if len(pdf):
-                any_rows = True
+                n += len(pdf)
                 pos = _positions(pdf["h"].to_numpy(), m_bits).ravel()
                 np.bitwise_or.at(bitmap, pos >> 3,
                                  np.uint8(1) << (pos & 7).astype(np.uint8))
-        if any_rows:
-            yield pd.DataFrame({"bm": [bitmap.tobytes()]})
+        if n:
+            yield pd.DataFrame({"bm": [bitmap.tobytes()], "n": [n]})
 
-    parts = hashes.mapInPandas(per_partition, "bm binary").collect()
-    bitmap = np.zeros(n_bytes, dtype=np.uint8)
-    for row in parts:
-        bitmap |= np.frombuffer(row.bm, dtype=np.uint8)
-    return bitmap.tobytes()
+    parts = hashes.mapInPandas(per_partition, "bm binary, n long").rdd
+    n_parts = parts.getNumPartitions()
+    depth = 2 if n_parts <= 1024 else 3
+    zero = (bytes(n_bytes), 0)
+    bitmap, n_rows = parts.treeAggregate(
+        zero,
+        lambda acc, row: (_or_bitmaps(acc[0], row.bm), acc[1] + row.n),
+        lambda a, b: (_or_bitmaps(a[0], b[0]), a[1] + b[1]),
+        depth=depth)
+    return bitmap, n_rows
+
+
+def build_bloom(df: DataFrame, cols, est_rows: float) -> bytes:
+    """Distributed Bloom build with the reference's resize rule: if the
+    observed build cardinality overflows the allocated bits (more than
+    ~m/12 keys for our 12-bits/key sizing), rebuild once at the
+    observed size — the analogue of PhysicalCreateBF rehashing into a
+    bigger filter on underestimate (physical_create_bf.cpp:385-406).
+    Estimates from parquet footers are upper bounds (builds only
+    shrink), so the second pass fires only when the caller guessed."""
+    hashes = df.select(F.xxhash64(*cols).alias("h"))
+    est = est_rows
+    for attempt in range(2):
+        m_bits = _size_bits(est)
+        bitmap, n_rows = _build_once(hashes, m_bits)
+        if n_rows * 12 <= m_bits or attempt == 1:
+            return bitmap
+        est = n_rows
+    return bitmap
 
 
 def probe_bloom(df: DataFrame, cols, bloom_bytes: bytes) -> DataFrame:

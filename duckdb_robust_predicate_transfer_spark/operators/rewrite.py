@@ -27,6 +27,7 @@ the stages.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
@@ -56,6 +57,16 @@ class StepStat:
     rows_in: int = -1
     rows_out: int = -1
     build_rows: int = -1
+    #: wall time of the eager min/max agg job (runs whenever the tier is
+    #: active — the one transfer op that is not lazy)
+    minmax_ms: float = 0.0
+    #: wall time to materialize the build key set / bloom sketch
+    #: (profiling only: forced with a count, like the reference's
+    #: sink+finalize timers, rpt_profiling.hpp:16-90)
+    build_ms: float = 0.0
+    #: wall time of the forced probe-side count (profiling only — the
+    #: probe op is lazy in production, fused into the consumer's stage)
+    probe_ms: float = 0.0
 
 
 @dataclass
@@ -64,6 +75,10 @@ class TransferResult:
     plan: TransferPlan
     stats: list = field(default_factory=list)
     persisted: list = field(default_factory=list)
+    #: wall time spent in graph build + heuristic + scheduling (set by
+    #: Engine.reduce — the reference's optimizer-time probe,
+    #: rpt_profiling.hpp:16-40)
+    planning_ms: float = 0.0
 
     def release(self):
         for df in self.persisted:
@@ -76,14 +91,19 @@ class TransferResult:
     def format_profile(self) -> str:
         """Per-step and per-pass reduction summary — the analogue of the
         reference's rpt_profiling printed table (rpt_profiling.hpp:
-        114-216: per-op rows in/out, forward/backward rollups with %
-        rows removed). Meaningful only when profiling was enabled."""
-        lines = ["step  phase     build -> probe           build_rows"
-                 "     rows_in    rows_out   removed"]
-        totals = {"forward": [0, 0], "backward": [0, 0]}
+        114-216: optimizer time, per-op rows in/out AND per-op timers,
+        forward/backward rollups with % rows removed). Meaningful only
+        when profiling was enabled."""
+        lines = [f"planning: {self.planning_ms:.2f} ms",
+                 "step  phase     build -> probe           build_rows"
+                 "     rows_in    rows_out   removed"
+                 "   minmax_ms  build_ms  probe_ms"]
+        totals = {"forward": [0, 0, 0.0], "backward": [0, 0, 0.0]}
         for i, st in enumerate(self.stats):
             op = st.op
             pct = ""
+            step_ms = st.minmax_ms + st.build_ms + st.probe_ms
+            totals[op.phase][2] += step_ms
             if st.rows_in > 0 and st.rows_out >= 0:
                 totals[op.phase][0] += st.rows_in
                 totals[op.phase][1] += st.rows_out
@@ -91,12 +111,15 @@ class TransferResult:
             edge = f"{op.build}({','.join(op.build_cols)}) -> {op.probe}"
             lines.append(
                 f"{i:>4}  {op.phase:<8}  {edge:<24} {st.build_rows:>10}"
-                f"  {st.rows_in:>10}  {st.rows_out:>10}   {pct}")
-        for phase, (tin, tout) in totals.items():
-            if tin:
+                f"  {st.rows_in:>10}  {st.rows_out:>10}   {pct:>7}"
+                f"  {st.minmax_ms:>9.1f} {st.build_ms:>9.1f}"
+                f" {st.probe_ms:>9.1f}")
+        for phase, (tin, tout, tms) in totals.items():
+            if tin or tms:
+                pct = (f"{100.0 * (tin - tout) / tin:6.2f}%" if tin else "")
                 lines.append(
                     f"      {phase:<8}  TOTAL{'':<20} {'':>10}  {tin:>10}"
-                    f"  {tout:>10}   {100.0 * (tin - tout) / tin:6.2f}%")
+                    f"  {tout:>10}   {pct:>7}  {tms:>29.1f}")
         return "\n".join(lines)
 
 
@@ -192,7 +215,9 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         if (cfg.filter_type in ("all", "minmax_only")
                 and (probe_est >= cfg.minmax_min_probe_rows
                      or cfg.filter_type == "minmax_only")):
+            t0 = time.perf_counter()
             n, pred = _minmax_filter(probe, build, op)
+            st.minmax_ms = (time.perf_counter() - t0) * 1e3
             if n == 0:
                 dfs[op.probe] = probe.where(F.lit(False))
                 empty = True
@@ -207,12 +232,19 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 # dominate (PTBloomFilter's role, bloom_filter.cpp:27-78)
                 from .bloom import build_bloom, probe_bloom
 
+                t0 = time.perf_counter()
                 bloom = build_bloom(build, list(op.build_cols),
                                     est if est != float("inf") else 1e6)
+                st.build_ms = (time.perf_counter() - t0) * 1e3
                 dfs[op.probe] = probe_bloom(probe, list(op.probe_cols), bloom)
                 reduced.add(op.probe)
+                epochs[op.probe] = epochs.get(op.probe, 0) + 1
+                if op.probe in rows_est:
+                    rows_est[op.probe] *= REDUCTION_DECAY
                 if cfg.profiling:
+                    t0 = time.perf_counter()
                     st.rows_out = dfs[op.probe].count()
+                    st.probe_ms = (time.perf_counter() - t0) * 1e3
                 res.stats.append(st)
                 continue
             ck = (op.build, op.build_cols, epochs.get(op.build, 0))
@@ -228,6 +260,13 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 else:
                     keys = keys.dropDuplicates()
                 keys_cache[ck] = keys
+                if cfg.profiling:
+                    # force the key-set materialization so its cost is
+                    # attributed to the CREATE, not the consumer stage
+                    # (the reference's sink+finalize timers)
+                    t0 = time.perf_counter()
+                    keys.count()
+                    st.build_ms = (time.perf_counter() - t0) * 1e3
             else:
                 keys = cached
             cond = None
@@ -241,7 +280,9 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         if op.probe in rows_est:
             rows_est[op.probe] *= REDUCTION_DECAY
         if cfg.profiling:
+            t0 = time.perf_counter()
             st.rows_out = dfs[op.probe].count()
+            st.probe_ms = (time.perf_counter() - t0) * 1e3
         res.stats.append(st)
 
     return res

@@ -28,16 +28,18 @@ RAW_SCHEMA = StructType([
 ])
 
 
-def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_event_stream(spark: SparkSession, sf_dir: str,
+                      glob: str = "events.parquet") -> DataFrame:
     """File-based event stream (one-file-per-batch), nanos -> timestamp.
-    On a cluster this is the same code over a Kafka/file drop zone."""
+    On a cluster this is the same code over a Kafka/file drop zone.
+    ``glob`` selects the event files within ``sf_dir`` (file-stream
+    sources need a directory, not a file)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (spark.read.parquet(f"{sf_dir}/events.parquet").schema)
-    # the fixture is a single file; file-stream sources need a directory,
-    # so stream the sf_dir with a glob filter selecting just events
+    raw_schema = (spark.read.option("pathGlobFilter", glob)
+                  .parquet(sf_dir).schema)
     stream = (spark.readStream.schema(raw_schema)
               .option("maxFilesPerTrigger", 1)
-              .option("pathGlobFilter", "events.parquet")
+              .option("pathGlobFilter", glob)
               .parquet(sf_dir))
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
@@ -69,18 +71,44 @@ _STATE_SCHEMA = StructType([
 ])
 
 
-def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
+                      watermark: str = "1 minute") -> DataFrame:
     """Custom stateful operator: per-user session windows with a
     gap-based close, via applyInPandasWithState (the PySpark analogue
-    of a custom streaming state machine). Emits closed sessions."""
+    of a custom streaming state machine).
+
+    Sessions close two ways, so stream == batch including each user's
+    LAST session:
+    - in-batch: a new event more than ``gap_minutes`` after the
+      previous one closes the running session immediately;
+    - by event-time TIMEOUT: when the watermark passes
+      ``last_event + gap``, the open session is flushed and its state
+      removed — without this, the final session per user would sit in
+      state forever (an append-mode sink would never see it).
+    State is therefore bounded by the active-user set within one gap
+    window, the only viable contract for an unbounded stream."""
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
 
     gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
 
-    def fn(key, pdf_iter, state: GroupState):
+    def _emit(rows):
         import pandas as pd
 
+        return pd.DataFrame(
+            {"user_id": [c[0] for c in rows],
+             "session_start": pd.to_datetime([c[1] for c in rows], unit="us"),
+             "session_end": pd.to_datetime([c[2] for c in rows], unit="us"),
+             "n_events": [c[3] for c in rows]})
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: flush the open session
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _emit([(key[0], start_us, last_us, n)])
+            return
         if state.exists:
             start_us, last_us, n = state.get
         else:
@@ -97,16 +125,14 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
                 else:
                     last_us, n = t, n + 1
         state.update((int(start_us), int(last_us), int(n)))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
         if closed:
-            yield pd.DataFrame(
-                {"user_id": [c[0] for c in closed],
-                 "session_start": pd.to_datetime([c[1] for c in closed], unit="us"),
-                 "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
-                 "n_events": [c[3] for c in closed]})
+            yield _emit(closed)
 
-    return (events.groupBy("user_id").applyInPandasWithState(
-        fn, SESSION_SCHEMA, _STATE_SCHEMA, "append",
-        GroupStateTimeout.NoTimeout))
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id").applyInPandasWithState(
+                fn, SESSION_SCHEMA, _STATE_SCHEMA, "append",
+                GroupStateTimeout.EventTimeTimeout))
 
 
 def run_to_memory(df: DataFrame, name: str, timeout_s: int = 120):

@@ -103,6 +103,14 @@ def ensure_fixture(spark: SparkSession, base_dir: str = DEFAULT_DIR) -> str:
 #: and would each cost a key-set job. minmax stays gated by probe size.
 CASCADE_CONFIG = RPTConfig(pass_mode="forward_only")
 
+#: same schedule but the mid -> fact hop ships a Bloom bitmap instead of
+#: the exact key set (the reduced mid's ~600k estimated keys exceed the
+#: threshold): the tier for build sides whose distinct-key broadcast
+#: would not fit — at 100 TB the common case, and the reference's only
+#: mechanism (PTBloomFilter). dim -> mid stays exact (60k est keys).
+CASCADE_SKETCH_CONFIG = CASCADE_CONFIG.with_(
+    use_sketch=True, sketch_threshold_rows=500_000)
+
 
 def run_cascade(spark: SparkSession, base_dir: str = DEFAULT_DIR,
                 config: RPTConfig | None = None) -> DataFrame:

@@ -124,6 +124,23 @@ def q_star_join_forced(spark, sf_dir):
     return q_star_join_rpt(spark, sf_dir, config=cfg)
 
 
+@query("q_sketch_transfer", oracle=FLAGSHIP_ORACLE)
+def q_sketch_transfer(spark, sf_dir):
+    """Flagship through the Bloom-SKETCH tier: every transfer ships a
+    fixed-size bitmap instead of an exact key set (PTBloomFilter's
+    role, bloom_filter.cpp:27-78) — the scale path for build sides
+    whose distinct-key shuffle would dominate. False positives only
+    ever ADD probe rows the final join drops, so the oracle (the same
+    SQL) must still match exactly."""
+    from ..config import RPTConfig
+
+    cfg = RPTConfig(use_sketch=True, sketch_threshold_rows=0,
+                    filter_type="bf_only", min_probe_rows=0,
+                    require_selective_build=False,
+                    backward_min_probe_rows=0, all_broadcast_bail_rows=0)
+    return q_star_join_rpt(spark, sf_dir, config=cfg)
+
+
 @query("q_sql_auto_rpt", oracle=FLAGSHIP_ORACLE)
 def q_sql_auto_rpt(spark, sf_dir, config=None):
     """The flagship star join as a plain SQL string: the join graph is

@@ -138,10 +138,19 @@ def test_single_edge_bails_out(spark, sf_dir):
 def test_profiling_stats(spark, sf_dir):
     e = Engine(spark, sf_dir, RPTConfig(profiling=True, **FORCE))
     e.reduce(STAR_RELS, STAR_EDGES)
-    stats = e.last_result.stats
+    res = e.last_result
+    stats = res.stats
     assert stats, "profiling should record per-step stats"
     for st in stats:
         assert st.rows_out <= st.rows_in
+        # per-op wall-time counters (the reference's rpt_profiling
+        # sink/finalize/probe timers, rpt_profiling.hpp:16-226)
+        assert st.build_ms >= 0 and st.probe_ms >= 0 and st.minmax_ms >= 0
+    # forced counts mean the probe timers must have actually ticked
+    assert sum(st.probe_ms for st in stats) > 0
+    assert res.planning_ms > 0
+    prof = res.format_profile()
+    assert "planning:" in prof and "build_ms" in prof and "TOTAL" in prof
 
 
 def test_wide_join_graph_differential(spark, sf_dir):

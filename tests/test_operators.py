@@ -27,6 +27,28 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     assert n_bloom - n_exact < max(50, 0.02 * n_all)
 
 
+def test_bloom_resize_on_underestimate(spark, sf_dir):
+    """The reference rehashes into a bigger filter when the observed
+    build cardinality overflows the allocation (physical_create_bf.cpp:
+    385-406); build_bloom must do the same on a bad estimate AND stay
+    false-negative-free."""
+    from duckdb_robust_predicate_transfer_spark.operators.bloom import (
+        _size_bits, build_bloom, probe_bloom)
+
+    cat = get_catalog(spark, sf_dir)
+    orders = cat.table("orders")
+    n_orders = orders.count()
+    bloom = build_bloom(orders, ["o_orderkey"], est_rows=10)  # 1000x off
+    # resized to the observed cardinality, not the bogus estimate
+    assert len(bloom) * 8 >= _size_bits(n_orders)
+    li = cat.table("lineitem")
+    n_bloom = probe_bloom(li, ["l_orderkey"], bloom).count()
+    n_exact = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey", "left_semi").count()
+    assert n_bloom >= n_exact
+
+
 def test_bloom_sketch_transfer_config(spark, sf_dir):
     """use_sketch end-to-end through Engine.reduce must preserve results."""
     from duckdb_robust_predicate_transfer_spark.config import RPTConfig

@@ -123,16 +123,18 @@ def test_events_scan_prunes_props(spark, sf_dir):
 
 
 def test_multimodal_is_the_only_python_surface(spark, sf_dir):
-    """Python must appear in exactly one plan: the deliberately-stubbed
-    multimodal decode (mapInPandas). Every other declared query stays
-    JVM-side end to end."""
+    """Python must appear in exactly two plans: the deliberately-stubbed
+    multimodal decode (mapInPandas) and the Bloom-SKETCH transfer tier
+    (whose Arrow-batched bitmap probe is the feature itself). Every
+    other declared query stays JVM-side end to end."""
     offenders = []
     for name, fn in QUERIES.items():
         plan = physical(fn(spark, sf_dir))
         if ("EvalPython" in plan or "MapInPandas" in plan
                 or "FlatMapGroupsInPandas" in plan):
             offenders.append(name)
-    assert offenders == ["q_multimodal_features"], offenders
+    assert sorted(offenders) == ["q_multimodal_features",
+                                 "q_sketch_transfer"], offenders
 
 
 def test_catalyst_order_reads_physical_join_order(spark, sf_dir):

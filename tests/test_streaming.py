@@ -37,6 +37,66 @@ def test_sessionize_stream_runs(spark, sf_dir):
         assert r.n_events >= 1
 
 
+def test_sessionize_stream_equals_batch_including_final_session(
+        spark, sf_dir, tmp_path):
+    """Full stream == batch equivalence: the events are split into
+    time-ordered micro-batch files plus a far-future sentinel event, so
+    the advancing watermark's event-time TIMEOUT must flush every real
+    user's final session — the case the gap-close alone can never emit."""
+    import os
+
+    from duckdb_robust_predicate_transfer_spark.streaming.ops import (
+        run_to_memory, sessionize_stream)
+
+    # raw (nanos) events split into 3 time-ordered files + sentinel
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    qs = raw.approxQuantile("ts", [0.33, 0.66], 0.01)
+    parts = [raw.filter(F.col("ts") <= qs[0]),
+             raw.filter((F.col("ts") > qs[0]) & (F.col("ts") <= qs[1])),
+             raw.filter(F.col("ts") > qs[1])]
+    far_future = raw.agg(F.max("ts")).collect()[0][0] + 10**15  # +~11 days
+    sentinel = spark.createDataFrame(
+        [(-1, far_future, -1, "view", 0.0, "{}")], raw.schema)
+    sdir = str(tmp_path / "ev_stream")
+    os.makedirs(sdir, exist_ok=True)
+    for i, p in enumerate(parts + [sentinel]):
+        tmp = str(tmp_path / f"tmp_b{i}")
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(sdir, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        # file-stream batch order follows modification time
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    stream = read_event_stream(spark, sdir, glob="*.parquet")
+    got = run_to_memory(sessionize_stream(stream), "sessions_full_test")
+    got_rows = sorted(
+        tuple(r) for r in
+        got.filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect())
+
+    # batch twin: per-event session ids -> per-session aggregates
+    from duckdb_robust_predicate_transfer_spark.workload.pipeline import (
+        q_events_sessionize)
+    from duckdb_robust_predicate_transfer_spark.catalog import get_catalog
+
+    ev = get_catalog(spark, sf_dir).table("events")
+    sess = q_events_sessionize(spark, sf_dir)
+    expect_rows = sorted(
+        tuple(r) for r in
+        ev.select("user_id", "event_id", "ts")
+        .join(sess, ["user_id", "event_id"])
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .collect())
+    assert got_rows == expect_rows
+
+
 def test_dedup_stream_removes_duplicates(spark, sf_dir):
     from duckdb_robust_predicate_transfer_spark.streaming.ops import (
         dedup_stream, run_to_memory)
