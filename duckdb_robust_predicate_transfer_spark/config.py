@@ -94,6 +94,9 @@ class RPTConfig:
     profiling: bool = False
     #: print the transfer DAG (reference: rpt_display_dag)
     display_dag: bool = False
+    #: print the DAG derived from the host optimizer's join order as 2-D
+    #: boxes (reference: rpt_display_physical_dag, dag_printer.cpp:13-180)
+    display_physical_dag: bool = False
     #: extra free-form knobs
     extra: dict = field(default_factory=dict)
 

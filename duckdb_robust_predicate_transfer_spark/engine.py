@@ -247,6 +247,18 @@ class Engine:
 
             print(render_tree(tree, rows_est))
             print(plan.describe())
+        if cfg.display_physical_dag:
+            # the DAG as derived from the host's actual join order,
+            # boxed 2-D like the reference's PrintPhysicalPlanDAG
+            # (rpt_optimizer.cpp:812-824, dag_printer.cpp:13-180)
+            from .plans.catalyst_order import physical_alias_order
+            from .plans.dag_print import render_boxes
+
+            order = physical_alias_order(self.join_all(dfs, jedges), dfs)
+            ptree = (execution_order_dag(graph, order,
+                                         flip_roots=cfg.flip_roots)
+                     if order is not None else tree)
+            print(render_boxes(ptree, rows_est))
 
         planning_ms = (_time.perf_counter() - t_plan) * 1e3
 

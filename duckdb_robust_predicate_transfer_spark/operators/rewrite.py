@@ -168,6 +168,17 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
     epochs: dict = {}
     keys_cache: dict = {}
 
+    # stacked-CREATE merge (the analogue of BuildStackedBFOperators,
+    # rpt_optimizer.cpp:1174-1216: adjacent CREATEs over one table share
+    # ONE materialization pass building n filters): a build side feeding
+    # several DIFFERENT column sets is persisted at first use regardless
+    # of the size bound, so each extra key set reads the materialized
+    # rows instead of re-running the build's reduction lineage.
+    colsets: dict = {}
+    for op in plan.ops:
+        colsets.setdefault(op.build, set()).add(op.build_cols)
+    multi_filter_builds = {b for b, cs in colsets.items() if len(cs) > 1}
+
     for op in plan.ops:
         build, probe = dfs[op.build], dfs[op.probe]
         est = rows_est.get(op.build, float("inf"))
@@ -201,7 +212,9 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         # materialize-and-re-emit, physical_create_bf.cpp:201-242,441-557).
         # Tiny builds recompute for free — persist only above the bound.
         if (cfg.persist_reduced and op.build in reduced
-                and est >= cfg.persist_min_rows and build not in res.persisted):
+                and (est >= cfg.persist_min_rows
+                     or op.build in multi_filter_builds)
+                and build not in res.persisted):
             build = build.persist()
             dfs[op.build] = build
             res.persisted.append(build)

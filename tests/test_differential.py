@@ -153,6 +153,36 @@ def test_profiling_stats(spark, sf_dir):
     assert "planning:" in prof and "build_ms" in prof and "TOTAL" in prof
 
 
+def test_multi_filter_build_persists_once(spark, sf_dir):
+    """Stacked-CREATE merge (rpt_optimizer.cpp:1174-1216): a reduced
+    build side feeding key sets on DIFFERENT column sets materializes
+    once (persist) even below the persist size bound, so the second
+    filter reads cached rows instead of re-running the reduction."""
+    from duckdb_robust_predicate_transfer_spark.operators.rewrite import (
+        apply_transfer)
+    from duckdb_robust_predicate_transfer_spark.plans.ir import (
+        TransferOp, TransferPlan)
+
+    e = Engine(spark, sf_dir, RPTConfig(enabled=False))
+    dfs = {"n": e.table("nation"),
+           "rg": e.table("region").filter("r_name = 'ASIA'"),
+           "c": e.table("customer")}
+    plan = TransferPlan(root="c", ops=[
+        TransferOp("rg", "n", ("r_regionkey",), ("n_regionkey",)),
+        TransferOp("n", "c", ("n_nationkey",), ("c_nationkey",)),
+        TransferOp("n", "rg", ("n_regionkey",), ("r_regionkey",),
+                   phase="backward"),
+    ])
+    cfg = RPTConfig(**FORCE).with_(persist_min_rows=10**12)
+    res = apply_transfer(dfs, {"n": 25.0, "rg": 5.0, "c": 1500.0},
+                         {"rg"}, plan, cfg)
+    try:
+        # n feeds two different column sets -> persisted despite the bound
+        assert len(res.persisted) == 1
+    finally:
+        res.release()
+
+
 def test_wide_join_graph_differential(spark, sf_dir):
     """9-relation JOB-style graph with nation/region each joined twice
     through disjoint alias chains: forced full cascade must equal off."""

@@ -202,6 +202,23 @@ def test_dag_render():
     assert fmt_card(2_500_000_000) == "2.5B"
 
 
+def test_dag_render_boxes():
+    """2-D box rendering (display_physical_dag parity with the
+    reference's RenderSubtree, dag_printer.cpp:38-180): every node gets
+    a bordered box with its cardinality, children sit under connector
+    bars with parent_col / child_col edge labels."""
+    from duckdb_robust_predicate_transfer_spark.plans.dag_print import (
+        render_boxes)
+
+    tree = largest_root_tree(star_graph())
+    out = render_boxes(tree, {"l": 60000, "o": 15000, "c": 1500,
+                              "n": 25, "rg": 5})
+    assert "| l" in out and "| 60.0K rows" in out
+    assert "l_orderkey / o_orderkey" in out
+    assert out.count("+--") >= 5  # five boxes
+    assert "|" in out.splitlines()[4]  # connector under the root box
+
+
 def cyclic_graph():
     """Triangle a-b-c plus pendant d: one edge must be dropped."""
     nodes = [TableNode("a", 1000), TableNode("b", 500),
