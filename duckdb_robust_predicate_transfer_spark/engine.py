@@ -111,9 +111,16 @@ class Engine:
         self.catalog.register_views()
         df = self.spark.sql(query)
         cfg = (config or self.config).validate()
+        #: True when the last sql() call actually applied the transfer
+        #: rewrite (extraction succeeded AND the planner's gates kept at
+        #: least one reduction) — the observable analogue of the
+        #: reference's "rules_applied" profiling counter
+        #: (rpt_profiling.hpp:40-55). Read by tools/breadth_check.py.
+        self.last_sql_rewritten = False
         if not auto_rpt or not cfg.enabled or self.catalog is None:
             return df
         out = self._auto_transfer_sql(query, df, cfg)
+        self.last_sql_rewritten = out is not None
         return out if out is not None else df
 
     def _auto_transfer_sql(self, query: str, df: DataFrame,
