@@ -42,6 +42,9 @@ _GRADE_FIRST = [
     # 5-way, IN-over-HAVING, correlated EXISTS/NOT-EXISTS
     "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q18",
     "q_tpch_q21",
+    # round-2 pipeline flagship: the curation funnel composing the
+    # langid/quality/dedup gates end-to-end
+    "q_corpus_curation",
 ]
 _GRADE_LAST = [
     # mirror/edge-case queries green in round 1, demoted to make room
@@ -49,6 +52,8 @@ _GRADE_LAST = [
     # q_window_rank, q_cosine_topk, unit tests cover the empty build)
     "q_right_join", "q_window_running_sum", "q_cosine_topk_batch",
     "q_empty_build_side",
+    # anti-join family stays graded through q_tpch_q21/q22's NOT EXISTS
+    "q_anti_join",
     # remaining TPC-H breadth: verified locally by tools/oracle_check
     # + the committed BREADTH artifact at the driver's own SF
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q6", "q_tpch_q10",

@@ -751,3 +751,82 @@ def q_events_retention(spark, sf_dir):
             .agg(F.count_distinct("user_id").alias("n_users"),
                  F.count_distinct("b_user").alias("retained_next_day"))
             .orderBy("cohort_day"))
+
+
+@query(
+    "q_corpus_curation",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, lang, md5(text) AS h,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tok,
+             CASE WHEN CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                       t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+                   / LEN(STRING_SPLIT(text, ' ')) > 0.08
+                  THEN 1 ELSE 0 END AS is_en,
+             CASE WHEN LEN(STRING_SPLIT(text, ' ')) BETWEEN 20 AND 1000
+                   AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                       / LEN(STRING_SPLIT(text, ' ')) BETWEEN 2.0 AND 12.0
+                  THEN 1 ELSE 0 END AS is_q
+      FROM documents
+    ),
+    winners AS (
+      SELECT h, MIN(doc_id) AS keep_id
+      FROM gated WHERE is_en = 1 AND is_q = 1 GROUP BY h
+    )
+    SELECT g.lang,
+           COUNT(*) AS docs_total,
+           SUM(g.is_en) AS docs_en,
+           SUM(CASE WHEN g.is_en = 1 AND g.is_q = 1
+                    THEN 1 ELSE 0 END) AS docs_quality,
+           SUM(CASE WHEN w.keep_id IS NOT NULL THEN 1 ELSE 0 END) AS docs_kept,
+           SUM(CASE WHEN w.keep_id IS NOT NULL THEN g.n_tok ELSE 0 END)
+             AS tokens_kept
+    FROM gated g LEFT JOIN winners w ON g.doc_id = w.keep_id
+    GROUP BY g.lang
+    ORDER BY g.lang
+    """,
+)
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation funnel in ONE declared query:
+    language-ID gate -> quality gate -> exact content dedup (keep the
+    smallest doc_id per md5) -> per-lang funnel report (docs at each
+    stage + tokens surviving curation).
+
+    This is the composition the individual q_langid_heuristic /
+    q_quality_score / q_dedup_exact queries exist for; the funnel shape
+    is what a corpus pipeline actually runs. Scale: the gates are
+    scan-local JVM expressions computed in the SAME pass as the hash
+    (one scan of documents), dedup is one hash aggregation on md5
+    (map-side partial combine), and the winner join is doc_id = keep_id
+    equi (both sides shuffle once on a unique key; winners is the
+    distinct-text subset, never a crossJoin). No Python UDFs anywhere.
+    Reference has no pipeline surface (SURVEY.md §2d "not present");
+    this extends it per the training-data mandate.
+    """
+    e = eng(spark, sf_dir)
+    toks = F.split(F.col("text"), " ", -1)
+    n_tok = F.size(toks)
+    stop_ratio = (F.size(F.filter(
+        toks, lambda t: t.isin("the", "a", "of", "to", "and")))
+        .cast("double") / n_tok)
+    awl = (F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+           .cast("double") / n_tok)
+    gated = e.table("documents").select(
+        "doc_id", "lang", F.md5("text").alias("h"),
+        n_tok.alias("n_tok"),
+        F.when(stop_ratio > 0.08, 1).otherwise(0).alias("is_en"),
+        F.when(n_tok.between(20, 1000)
+               & awl.between(2.0, 12.0), 1).otherwise(0).alias("is_q"))
+    winners = (gated.filter((F.col("is_en") == 1) & (F.col("is_q") == 1))
+               .groupBy("h").agg(F.min("doc_id").alias("keep_id")))
+    j = gated.join(winners, gated["doc_id"] == winners["keep_id"], "left")
+    kept = F.col("keep_id").isNotNull()
+    return (j.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("docs_total"),
+                 F.sum("is_en").alias("docs_en"),
+                 F.sum(F.when((F.col("is_en") == 1) & (F.col("is_q") == 1), 1)
+                       .otherwise(0)).alias("docs_quality"),
+                 F.sum(F.when(kept, 1).otherwise(0)).alias("docs_kept"),
+                 F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+                 .alias("tokens_kept"))
+            .orderBy("lang"))
