@@ -1,4 +1,4 @@
-"""Bloom-filter sketch transfer tier.
+"""Bloom-filter sketch transfer tier — fully JVM-side.
 
 Plays the role of the reference's PTBloomFilter (bloom_filter.cpp:
 27-78 — a DataChunk wrapper over a blocked Bloom filter living in its
@@ -6,17 +6,39 @@ DuckDB fork): when a build side's key set is too large to ship as an
 exact key DataFrame, transfer a fixed-size bitmap sketch instead.
 
 Not a port: the reference uses an Arrow-Acero blocked filter with
-cache-line blocks and a 1024-entry mask table (README.md:25-32); ours
-is a numpy bitmap with classic double hashing (Kirsch-Mitzenmatter),
-because the expensive part in Spark is the shuffle we avoid, not the
-per-probe cache misses. What we keep from the reference is the
-*sizing rule*: bits = NextPowerOfTwo(max(512, est_rows * 12)), ~8+
-bits/key after rounding up (physical_create_bf.cpp:385-406).
+cache-line blocks and a 1024-entry mask table (README.md:25-32). The
+first Spark formulation here used per-partition numpy bitmaps +
+``treeAggregate`` and a pandas-UDF probe — correct, but every probe
+row crossed the JVM->Arrow->Python boundary, and at bench scale the
+sketch leg ran ~2x SLOWER than no transfer at all. This version keeps
+both sides inside whole-stage codegen:
 
-Build: xxhash64 of the key columns (JVM) -> per-partition numpy
-bitmaps (mapInPandas) -> OR at the driver (tiny: bitmap bytes, not
-rows). Probe: broadcast bitmap + vectorized pandas UDF over the same
-xxhash64 — Arrow-batched, no Python row loop.
+- **Build**: ``xxhash64`` -> k=5 bit positions per key (classic
+  Kirsch-Mitzenmatter double hashing, in SQL arithmetic) ->
+  ``explode`` -> ``groupBy(word).agg(bit_or(bit))``. The map-side
+  partial aggregate collapses each partition to at most m/64 words
+  before the shuffle, so shuffle volume is bounded by
+  partitions x m/64 regardless of build row count — the same bound a
+  treeAggregate gives, with zero Python. The driver receives the
+  SPARSE word list once (<= m/8 bytes total), never a bitmap per
+  partition.
+- **Probe**: the dense bitmap ships back as ONE broadcast row holding
+  an ``array<long>``; the membership test is 5 ``element_at`` +
+  bit-shift SQL expressions fused into the probe scan's codegen stage
+  (PhysicalUseBF's LookupSel -> selection vector,
+  physical_use_bf.cpp:128-190). No join, no UDF, no shuffle.
+
+What we keep from the reference is the *sizing rule*: bits =
+NextPowerOfTwo(max(512, est_rows * 12)), ~8+ bits/key after rounding
+up, with a one-shot rebuild at the observed cardinality when the
+estimate was too low (physical_create_bf.cpp:385-406).
+
+Scale note: the bitmap transits the driver (m/8 bytes, ~4.5 MB for a
+3M-key build) and is broadcast once. Beyond ~100M distinct keys
+(~150 MB bitmap) broadcasting stops paying and the exact key-set
+semi-join tier is the right tool — callers gate on
+``sketch_threshold_rows`` for the lower bound and should prefer exact
+transfer above ``broadcast_key_rows``-scale builds.
 """
 
 from __future__ import annotations
@@ -24,7 +46,6 @@ from __future__ import annotations
 import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import BooleanType
 
 N_HASHES = 5
 
@@ -34,62 +55,60 @@ def _size_bits(est_rows: float) -> int:
     return 1 << (bits - 1).bit_length()
 
 
-def _positions(h: np.ndarray, m_bits: int) -> np.ndarray:
-    """k bit positions per 64-bit hash via double hashing:
-    pos_i = (h1 + i * h2) mod m. Returns shape (k, n)."""
-    h = h.astype(np.uint64)
-    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
-    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
-    i = np.arange(N_HASHES, dtype=np.uint64).reshape(-1, 1)
-    return ((h1 + i * h2) % np.uint64(m_bits)).astype(np.int64)
+def _pos_sql(h: str, i: int, m_bits: int) -> str:
+    """SQL for bit position i of 64-bit hash column ``h`` via double
+    hashing: pos_i = (h1 + i * h2) mod m with h1 = low 32 bits,
+    h2 = high 32 bits | 1 (odd => full-period stepping). All terms stay
+    below 5 * 2^32, no signed overflow."""
+    h1 = f"({h} & 4294967295)"
+    h2 = f"(shiftrightunsigned({h}, 32) | 1)"
+    return f"pmod({h1} + {i} * {h2}, {m_bits})"
 
 
-def _or_bitmaps(a: bytes, b) -> bytes:
-    """OR-combine two serialized bitmaps (b may be a (bytes, count) seq
-    element or another accumulator)."""
-    bm = b[0] if isinstance(b, tuple) else b
-    return (np.frombuffer(a, dtype=np.uint8)
-            | np.frombuffer(bm, dtype=np.uint8)).tobytes()
+class BloomSketch:
+    """Driver-side handle: dense bitmap as int64 words + sizing info.
+
+    ``len(sketch)`` is the bitmap size in bytes (the reference exposes
+    the same through its filter allocation, bloom_filter.hpp:22-57).
+    """
+
+    def __init__(self, words: list, m_bits: int, n_rows: int):
+        self.words = words
+        self.m_bits = m_bits
+        self.n_rows = n_rows
+
+    def __len__(self) -> int:
+        return self.m_bits // 8
 
 
 def _build_once(hashes: DataFrame, m_bits: int) -> tuple:
-    """One distributed build pass -> (bitmap bytes, observed row count).
-
-    Per-partition numpy bitmaps (the analogue of PhysicalCreateBF's
-    thread-local sinks, physical_create_bf.cpp:201-275) are OR-merged
-    with ``treeAggregate`` so combining happens on EXECUTORS: with P
-    partitions and an m/8-byte filter the driver receives ~sqrt(P)
-    bitmaps at depth 2 (~P^(1/3) at depth 3), never P of them — at 10k
-    partitions x 8 MB a driver-side collect would be 80 GB."""
-    n_bytes = m_bits // 8
-
-    def per_partition(it):
-        import pandas as pd
-
-        bitmap = np.zeros(n_bytes, dtype=np.uint8)
-        n = 0
-        for pdf in it:
-            if len(pdf):
-                n += len(pdf)
-                pos = _positions(pdf["h"].to_numpy(), m_bits).ravel()
-                np.bitwise_or.at(bitmap, pos >> 3,
-                                 np.uint8(1) << (pos & 7).astype(np.uint8))
-        if n:
-            yield pd.DataFrame({"bm": [bitmap.tobytes()], "n": [n]})
-
-    parts = hashes.mapInPandas(per_partition, "bm binary, n long").rdd
-    n_parts = parts.getNumPartitions()
-    depth = 2 if n_parts <= 1024 else 3
-    zero = (bytes(n_bytes), 0)
-    bitmap, n_rows = parts.treeAggregate(
-        zero,
-        lambda acc, row: (_or_bitmaps(acc[0], row.bm), acc[1] + row.n),
-        lambda a, b: (_or_bitmaps(a[0], b[0]), a[1] + b[1]),
-        depth=depth)
-    return bitmap, n_rows
+    """One distributed JVM build pass -> (dense int64 word list,
+    observed build row count). The per-word position count rides along
+    in the same aggregation: its total is exactly n_rows * k, so the
+    observed cardinality costs no extra job (the reference counts rows
+    in its sink for the same purpose, physical_create_bf.cpp:201-242).
+    """
+    pos_arr = ", ".join(_pos_sql("h", i, m_bits) for i in range(N_HASHES))
+    rows = (hashes
+            .selectExpr(f"explode(array({pos_arr})) AS pos")
+            .selectExpr("shiftright(pos, 6) AS word",
+                        "shiftleft(1L, cast(pos % 64 AS int)) AS bit")
+            .groupBy("word")
+            .agg(F.bit_or("bit").alias("bits"),
+                 F.count(F.lit(1)).alias("cnt"))
+            .collect())
+    n_rows = sum(r.cnt for r in rows) // N_HASHES
+    dense = np.zeros(m_bits // 64, dtype=np.int64)
+    if rows:
+        idx = np.fromiter((r.word for r in rows), dtype=np.int64,
+                          count=len(rows))
+        bits = np.fromiter((r.bits for r in rows), dtype=np.int64,
+                           count=len(rows))
+        dense[idx] = bits
+    return dense.tolist(), n_rows
 
 
-def build_bloom(df: DataFrame, cols, est_rows: float) -> bytes:
+def build_bloom(df: DataFrame, cols, est_rows: float) -> BloomSketch:
     """Distributed Bloom build with the reference's resize rule: if the
     observed build cardinality overflows the allocated bits (more than
     ~m/12 keys for our 12-bits/key sizing), rebuild once at the
@@ -101,31 +120,29 @@ def build_bloom(df: DataFrame, cols, est_rows: float) -> bytes:
     est = est_rows
     for attempt in range(2):
         m_bits = _size_bits(est)
-        bitmap, n_rows = _build_once(hashes, m_bits)
+        words, n_rows = _build_once(hashes, m_bits)
         if n_rows * 12 <= m_bits or attempt == 1:
-            return bitmap
+            return BloomSketch(words, m_bits, n_rows)
         est = n_rows
-    return bitmap
+    return BloomSketch(words, m_bits, n_rows)
 
 
-def probe_bloom(df: DataFrame, cols, bloom_bytes: bytes) -> DataFrame:
-    """Filter df to rows whose key hash might be in the filter
-    (PhysicalUseBF's LookupSel -> selection vector,
-    physical_use_bf.cpp:128-190, as an Arrow-batched vectorized UDF)."""
+def probe_bloom(df: DataFrame, cols, sketch: BloomSketch) -> DataFrame:
+    """Filter df to rows whose key hash might be in the filter. The
+    bitmap rides in as one broadcast row; the 5 bit tests are plain SQL
+    expressions inside the probe scan's codegen stage — false positives
+    pass (later exact joins drop them), true matches never fail."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(bloom_bytes)
-    m_bits = len(bloom_bytes) * 8
-
-    @F.pandas_udf(BooleanType())
-    def might_contain(h):
-        import pandas as pd
-
-        bitmap = np.frombuffer(bc.value, dtype=np.uint8)
-        pos = _positions(h.to_numpy(), m_bits)
-        hit = np.ones(len(h), dtype=bool)
-        for i in range(N_HASHES):
-            p = pos[i]
-            hit &= (bitmap[p >> 3] >> (p & 7).astype(np.uint8)) & 1 == 1
-        return pd.Series(hit)
-
-    return df.filter(might_contain(F.xxhash64(*cols)))
+    arr_df = spark.createDataFrame([(sketch.words,)], "__bm array<bigint>")
+    out = (df.withColumn("__h", F.xxhash64(*cols))
+           .crossJoin(F.broadcast(arr_df)))
+    conds = []
+    for i in range(N_HASHES):
+        p = _pos_sql("__h", i, sketch.m_bits)
+        conds.append(F.expr(
+            f"(shiftright(element_at(__bm, cast(shiftright({p}, 6) AS int)"
+            f" + 1), cast({p} % 64 AS int)) & 1) = 1"))
+    pred = conds[0]
+    for c in conds[1:]:
+        pred = pred & c
+    return out.filter(pred).drop("__bm", "__h")
