@@ -15,8 +15,8 @@ backfill of the same pipeline would run.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import (LongType, StringType, StructField, StructType,
-                               TimestampType)
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType, TimestampType)
 
 RAW_SCHEMA = StructType([
     StructField("event_id", LongType()),
@@ -205,3 +205,112 @@ def enriched_stream(events: DataFrame, dim: DataFrame,
     small — the streaming analogue of the engine's broadcast
     dimension joins."""
     return events.join(dim, on=on, how="left")
+
+
+ASOF_OUT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("purchase_ts", TimestampType()),
+    StructField("purchase_value", DoubleType()),
+])
+_ASOF_STATE_SCHEMA = ("carried_ts long, carried_val double, "
+                      "ref_ts array<long>, ref_val array<double>, "
+                      "probe_ts array<long>, probe_id array<long>")
+
+
+def asof_stream(events: DataFrame, watermark: str = "1 minute",
+                probe_type: str = "view",
+                ref_type: str = "purchase") -> DataFrame:
+    """Streaming as-of join: each ``probe_type`` event is matched to
+    the same user's latest ``ref_type`` event at or before it — the
+    streaming twin of operators/asof.py (batch query q_events_asof).
+
+    Spark's stream-stream joins can't express "latest at or before"
+    (it needs a per-key argmax over an unbounded past), so this is a
+    custom stateful operator via applyInPandasWithState, watermark-
+    correct by construction:
+
+    - probe rows BUFFER in state until the event-time watermark passes
+      their timestamp; only then is the match decided, because only
+      then can no more on-time refs at or before it arrive. Flushes
+      ride on event-time TIMEOUTs set to the earliest pending probe.
+    - ref rows older than the watermark collapse into ONE carried
+      (ts, value) per user — any still-pending probe is younger than
+      the watermark, so only the newest collapsed ref can ever win.
+      Refs tied on ts resolve to the max value, matching the batch
+      twin's MAX(value) pre-aggregation.
+
+    State per user is therefore O(watermark window) for the buffers
+    plus O(1) for the carried ref — the bounded-state contract an
+    unbounded stream requires. The carried ref persists indefinitely
+    by design: an as-of match can reach arbitrarily far back, exactly
+    like the batch operator over the full history.
+    """
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            c_ts, c_val, ref_ts, ref_val, probe_ts, probe_id = state.get
+            ref_ts, ref_val = list(ref_ts), list(ref_val)
+            probe_ts, probe_id = list(probe_ts), list(probe_id)
+        else:
+            c_ts, c_val = -1, None
+            ref_ts, ref_val, probe_ts, probe_id = [], [], [], []
+
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            t_us = pdf["ts"].astype("int64") // 1000
+            for t, et, eid, val in zip(t_us, pdf["event_type"],
+                                       pdf["event_id"], pdf["value"]):
+                if et == ref_type:
+                    ref_ts.append(int(t))
+                    ref_val.append(float(val))
+                elif et == probe_type:
+                    probe_ts.append(int(t))
+                    probe_id.append(int(eid))
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out, keep_ts, keep_id = [], [], []
+        for t, eid in zip(probe_ts, probe_id):
+            if t >= wm_us:
+                keep_ts.append(t)
+                keep_id.append(eid)
+                continue
+            # match decided: latest ref <= t, ties -> max value
+            best = (c_ts, c_val) if c_ts >= 0 else (None, None)
+            for rt, rv in zip(ref_ts, ref_val):
+                if rt <= t and (best[0] is None or (rt, rv) > best):
+                    best = (rt, rv)
+            out.append((eid, key[0], t, best[0], best[1]))
+        # collapse watermark-passed refs into the carried (ts, value)
+        keep_rts, keep_rvs = [], []
+        for rt, rv in zip(ref_ts, ref_val):
+            if rt >= wm_us:
+                keep_rts.append(rt)
+                keep_rvs.append(rv)
+            elif c_ts < 0 or (rt, rv) > (c_ts, c_val):
+                c_ts, c_val = rt, rv
+        state.update((c_ts, c_val, keep_rts, keep_rvs, keep_ts, keep_id))
+        if keep_ts:
+            state.setTimeoutTimestamp(min(keep_ts) // 1000 + 1)
+        elif keep_rts:
+            # wake once more to collapse the remaining refs to O(1)
+            state.setTimeoutTimestamp(max(keep_rts) // 1000 + 1)
+        if out:
+            yield pd.DataFrame(
+                {"event_id": [o[0] for o in out],
+                 "user_id": [o[1] for o in out],
+                 "ts": pd.to_datetime([o[2] for o in out], unit="us"),
+                 "purchase_ts": pd.to_datetime(
+                     [o[3] for o in out], unit="us"),
+                 "purchase_value": [o[4] for o in out]})
+
+    return (events.withWatermark("ts", watermark)
+            .groupBy("user_id").applyInPandasWithState(
+                fn, ASOF_OUT_SCHEMA, _ASOF_STATE_SCHEMA, "append",
+                GroupStateTimeout.EventTimeTimeout))

@@ -155,3 +155,58 @@ def test_enriched_stream_matches_batch_join(spark, sf_dir):
               .select("event_id", "c_mktsegment"))
     assert (sorted(map(tuple, got.collect()))
             == sorted(map(tuple, expect.collect())))
+
+
+def test_asof_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming as-of == batch as-of on the same events: time-ordered
+    micro-batch files + a far-future sentinel advance the watermark so
+    every real probe flushes; matches must agree with the batch
+    union+window operator exactly, including NULL (no prior ref)."""
+    import os
+
+    from duckdb_robust_predicate_transfer_spark.operators.asof import (
+        asof_join)
+    from duckdb_robust_predicate_transfer_spark.streaming.ops import (
+        asof_stream, read_event_stream, run_to_memory)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    qs = raw.approxQuantile("ts", [0.33, 0.66], 0.01)
+    parts = [raw.filter(F.col("ts") <= qs[0]),
+             raw.filter((F.col("ts") > qs[0]) & (F.col("ts") <= qs[1])),
+             raw.filter(F.col("ts") > qs[1])]
+    far_future = raw.agg(F.max("ts")).collect()[0][0] + 10**15
+    sentinel = spark.createDataFrame(
+        [(-1, far_future, -1, "view", 0.0, "{}")], raw.schema)
+    sdir = str(tmp_path / "asof_stream")
+    os.makedirs(sdir, exist_ok=True)
+    for i, p in enumerate(parts + [sentinel]):
+        tmp = str(tmp_path / f"asof_tmp_b{i}")
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(sdir, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    stream = read_event_stream(spark, sdir, glob="*.parquet")
+    got = run_to_memory(asof_stream(stream), "asof_stream_test")
+    got_rows = sorted(
+        tuple(r) for r in
+        got.filter(F.col("user_id") >= 0)
+        .select("event_id", "user_id", "purchase_ts", "purchase_value")
+        .collect())
+
+    from duckdb_robust_predicate_transfer_spark.catalog import get_catalog
+    ev = get_catalog(spark, sf_dir).table("events")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select("event_id", "user_id", "ts"))
+    buys = (ev.filter(F.col("event_type") == "purchase")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("purchase_value")))
+    expect_rows = sorted(
+        tuple(r) for r in
+        asof_join(views, buys, on="user_id", payload=["purchase_value"],
+                  matched_ts="purchase_ts")
+        .select("event_id", "user_id", "purchase_ts", "purchase_value")
+        .collect())
+    assert got_rows == expect_rows
