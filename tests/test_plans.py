@@ -123,18 +123,17 @@ def test_events_scan_prunes_props(spark, sf_dir):
 
 
 def test_multimodal_is_the_only_python_surface(spark, sf_dir):
-    """Python must appear in exactly two plans: the deliberately-stubbed
-    multimodal decode (mapInPandas) and the Bloom-SKETCH transfer tier
-    (whose Arrow-batched bitmap probe is the feature itself). Every
-    other declared query stays JVM-side end to end."""
+    """Python must appear in exactly ONE plan: the deliberately-stubbed
+    multimodal decode (mapInPandas). Everything else — including the
+    Bloom sketch tier, whose probe is now SQL bit tests — stays
+    JVM-side end to end."""
     offenders = []
     for name, fn in QUERIES.items():
         plan = physical(fn(spark, sf_dir))
         if ("EvalPython" in plan or "MapInPandas" in plan
                 or "FlatMapGroupsInPandas" in plan):
             offenders.append(name)
-    assert sorted(offenders) == ["q_multimodal_features",
-                                 "q_sketch_transfer"], offenders
+    assert sorted(offenders) == ["q_multimodal_features"], offenders
 
 
 def test_catalyst_order_reads_physical_join_order(spark, sf_dir):
@@ -169,3 +168,55 @@ def test_catalyst_order_self_join_falls_back(spark, sf_dir):
     n2 = n.withColumnRenamed("n_nationkey", "n2_nationkey")
     joined = n.join(n2, n.n_regionkey == n2.n_regionkey)
     assert physical_alias_order(joined, {"a": n, "b": n2}) is None
+
+
+def test_tpch_flagship_plans_are_scale_shaped(spark, sf_dir):
+    """The six driver-graded TPC-H shapes must compile to the plan a
+    cluster wants: no cartesian blowup ever, dims broadcast at test
+    scale (no sort-merge join), and at most the aggregation shuffles.
+    Catches regressions where a rewrite or extraction change degrades
+    the declared flagship surface."""
+    budgets = {  # max Exchange hashpartitioning per query at test SF
+        "q_tpch_q5": 1, "q_tpch_q7": 1, "q_tpch_q8": 1,
+        "q_tpch_q9": 1, "q_tpch_q18": 3, "q_tpch_q21": 1,
+    }
+    for name, max_shuffles in budgets.items():
+        plan = physical(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert n_shuffles(plan) <= max_shuffles, (
+            f"{name}: {n_shuffles(plan)} shuffles > {max_shuffles}")
+        assert plan.count("BroadcastHashJoin") >= 3, name
+
+
+def test_tpch_q5_region_filter_reaches_scan(spark, sf_dir):
+    plan = physical(QUERIES["q_tpch_q5"](spark, sf_dir))
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(r_name", plan)
+
+
+def test_corpus_curation_single_scan_no_python(spark, sf_dir):
+    """The curation funnel must compute every gate and the content hash
+    in ONE pass over documents (plus the winners' aggregate), entirely
+    JVM-side."""
+    plan = physical(QUERIES["q_corpus_curation"](spark, sf_dir))
+    assert len([t for t, _ in scans(plan) if t == "documents"]) <= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_probe_stays_in_codegen(spark, sf_dir):
+    """The sketch probe must be SQL bit tests fused into the probe
+    side, never a Python eval node (the regression that made the
+    sketch bench leg slower than no transfer at all)."""
+    import pyspark.sql.functions as F
+
+    from duckdb_robust_predicate_transfer_spark.catalog import get_catalog
+    from duckdb_robust_predicate_transfer_spark.operators.bloom import (
+        build_bloom, probe_bloom)
+
+    cat = get_catalog(spark, sf_dir)
+    orders = cat.table("orders").filter(F.col("o_orderstatus") == "F")
+    sk = build_bloom(orders, ["o_orderkey"], est_rows=5000)
+    plan = physical(probe_bloom(cat.table("lineitem"), ["l_orderkey"], sk))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
