@@ -58,16 +58,22 @@ class Catalog:
         return self._dfs[name]
 
     def _read_events(self) -> DataFrame:
-        """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via
-        the runtime-settable legacy conf and truncate to microseconds with
-        integer division (a double division would lose precision at 1e18 ns)
-        — the same truncation DuckDB applies, so oracle comparisons agree."""
+        """events.ts has been generated as either parquet TIMESTAMP(NANOS)
+        — which Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL])
+        — or TIMESTAMP(MICROS), depending on the fixture generation. Handle
+        both: enable the runtime-settable nanosAsLong legacy conf (a no-op
+        for non-nano columns), and if ts then surfaces as a raw long,
+        truncate nanos to microseconds with integer division (a double
+        division would lose precision at 1e18 ns) — the same truncation
+        DuckDB applies, so oracle comparisons agree."""
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self.spark.read.parquet(self.path("events"))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
 
     def info(self, name: str) -> TableInfo:
         if name not in self._info:
