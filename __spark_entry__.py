@@ -23,47 +23,52 @@ from duckdb_robust_predicate_transfer_spark.workload import ORACLE, QUERIES  # n
 
 # The driver grades the first 50 entries of queries() against oracle_sql().
 # There are more oracle-bearing queries than graded slots, so order matters:
-#   1. _GRADE_FIRST — oracle-bearing queries that had no CORRECTNESS row in
-#      round 1 (the driver never reached them).
+#   1. _GRADE_FIRST — oracle-bearing queries with no green driver
+#      CORRECTNESS row yet: the round-2 red rows (now fixed) plus the
+#      14 TPC-H oracle queries that have never been in the graded window
+#      (VERDICT r2 "Next round" #4).
 #   2. every other oracle-bearing query in registration order — newly added
 #      queries land here automatically and therefore get graded.
-#   3. _GRADE_LAST — oracle-bearing queries already proven green in round 1
-#      whose family is still represented above (e.g. q_rollup/q_cube are
-#      demoted because q_grouping_sets + q_rollup_star stay graded).
+#   3. _GRADE_LAST — oracle-bearing queries already proven green in a
+#      prior round's CORRECTNESS artifact (r1 or r2); they re-grade only
+#      when slots remain.
 #   4. rows-only queries (no oracle) — the driver's weaker check.
 _GRADE_FIRST = [
-    "q_embedding_norms", "q_events_tumbling", "q_events_sessionize",
-    "q_langid_heuristic", "q_quality_score", "q_token_regex_count",
-    "q_embed_neardup_exact", "q_events_json", "q_skew_salted_join",
-    "q_events_funnel", "q_events_asof", "q_events_interval_join",
-    "q_events_retention",
-    # round-2 flagship TPC-H shapes (workload/tpch.py): 6-way transfer
-    # star, nation-alias self-join, 8-relation graph, LIKE-filtered
-    # 5-way, IN-over-HAVING, correlated EXISTS/NOT-EXISTS
-    "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q18",
-    "q_tpch_q21",
-    # round-2 pipeline flagship: the curation funnel composing the
-    # langid/quality/dedup gates end-to-end
-    "q_corpus_curation",
-]
-_GRADE_LAST = [
-    # mirror/edge-case queries green in round 1, demoted to make room
-    # for the TPC-H flagships (their families stay graded: q_left_join,
-    # q_window_rank, q_cosine_topk, unit tests cover the empty build)
-    "q_right_join", "q_window_running_sum", "q_cosine_topk_batch",
-    "q_empty_build_side",
-    # anti-join family stays graded through q_tpch_q21/q22's NOT EXISTS
-    "q_anti_join",
-    # remaining TPC-H breadth: verified locally by tools/oracle_check
-    # + the committed BREADTH artifact at the driver's own SF
+    # round-2 red rows, fixed this round: TIMESTAMP_NTZ normalization
+    # (catalog.py) and the HUGEINT oracle cast (pipeline.py)
+    "q_events_sessionize", "q_events_interval_join", "q_corpus_curation",
+    # TPC-H queries never yet graded by the driver (locally verified via
+    # tools/oracle_check + BREADTH_r02, but the hard signal is the driver's)
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q6", "q_tpch_q10",
     "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
     "q_tpch_q16", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20",
     "q_tpch_q22",
+]
+_GRADE_LAST = [
+    # green in CORRECTNESS_r01 (see VERDICT r1/r2 §2c notes)
+    "q_right_join", "q_window_running_sum", "q_cosine_topk_batch",
+    "q_empty_build_side", "q_anti_join",
     "q_scan_project", "q_filter_scan", "q_values_join", "q_distinct",
     "q_count_distinct", "q_rollup", "q_cube", "q_except", "q_intersect",
     "q_string_funcs", "q_date_funcs", "q_math_funcs", "q_case_expr",
     "q_window_range_frame", "q_orderby_limit",
+    # green in CORRECTNESS_r02
+    "q_embedding_norms", "q_events_tumbling", "q_langid_heuristic",
+    "q_quality_score", "q_token_regex_count", "q_embed_neardup_exact",
+    "q_events_json", "q_skew_salted_join", "q_events_funnel",
+    "q_events_asof", "q_events_retention",
+    "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q18",
+    "q_tpch_q21",
+    "q_join_2way_inner", "q_star_join_rpt", "q_star_join_forced",
+    "q_sketch_transfer", "q_sql_auto_rpt", "q_snowflake_agg",
+    "q_multi_col_join", "q_cyclic_join_graph", "q_left_join",
+    "q_semi_join", "q_in_subquery_mark", "q_correlated_exists",
+    "q_scalar_agg", "q_groupby_having", "q_grouping_sets",
+    "q_rollup_star", "q_union", "q_window_rank", "q_topk",
+    "q_job_style_wide", "q_percentiles", "q_job_style_like_in",
+    "q_job_style_dim_fanout", "q_full_outer_join",
+    "q_text_stats", "q_lang_quality", "q_doc_fingerprint",
+    "q_dedup_exact", "q_ngram_jaccard", "q_cosine_topk",
 ]
 
 

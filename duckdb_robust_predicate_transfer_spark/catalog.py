@@ -30,6 +30,38 @@ def parquet_row_count(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def parquet_ts_unit(path: str, column: str = "ts") -> str:
+    """The parquet footer's logical timestamp unit for ``column``
+    ('ns', 'us', 'ms'), or '' if the column is not an INT64 logical
+    timestamp. Footer-based — not inferred from the surfaced Spark type
+    — so a fixture storing plain INT64 micros can never be mistaken for
+    nanos and silently divided by 1000. INT96 timestamps (Spark's own
+    legacy writer format; pyarrow reports them as timestamp[ns]) return
+    '' because Spark reads them natively as TIMESTAMP — only INT64
+    TIMESTAMP(NANOS) needs the nanosAsLong workaround."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        import glob as _glob
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return ""
+        path = files[0]
+    pf = pq.ParquetFile(path)
+    sch = pf.schema
+    for i in range(len(sch)):
+        col = sch.column(i)
+        if col.name != column:
+            continue
+        if col.physical_type != "INT64":
+            return ""
+        lt = col.logical_type
+        if getattr(lt, "type", None) != "TIMESTAMP":
+            return ""
+        return getattr(pf.schema_arrow.field(column).type, "unit", "")
+    return ""
+
+
 @dataclass
 class TableInfo:
     name: str
@@ -60,19 +92,35 @@ class Catalog:
     def _read_events(self) -> DataFrame:
         """events.ts has been generated as either parquet TIMESTAMP(NANOS)
         — which Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL])
-        — or TIMESTAMP(MICROS), depending on the fixture generation. Handle
-        both: enable the runtime-settable nanosAsLong legacy conf (a no-op
-        for non-nano columns), and if ts then surfaces as a raw long,
-        truncate nanos to microseconds with integer division (a double
-        division would lose precision at 1e18 ns) — the same truncation
-        DuckDB applies, so oracle comparisons agree."""
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        — or TIMESTAMP(MICROS) without UTC adjustment — which Spark reads
+        as TIMESTAMP_NTZ. Normalize BOTH fixture flavors to one schema
+        contract: ``ts`` is ``TimestampType``. The session timezone is
+        pinned to UTC (session.py), so the NTZ→TIMESTAMP cast is
+        value-preserving and query semantics match DuckDB regardless of
+        which fixture generation produced the file.
 
-        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = self.spark.read.parquet(self.path("events"))
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        The nanos branch is detected from the parquet footer (not the
+        surfaced Spark type, which would also fire on plain INT64), and
+        the ``nanosAsLong`` legacy conf is only flipped in that branch —
+        a MICROS fixture never touches session-wide conf. Nanos truncate
+        to micros with integer division (a double division would lose
+        precision at 1e18 ns) — the truncation DuckDB applies too."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import TimestampType
+
+        if parquet_ts_unit(self.path("events")) == "ns":
+            # Left set for the session: the lazy scan re-reads footers at
+            # execution time, so restoring the conf before the first
+            # action would re-trigger [PARQUET_TYPE_ILLEGAL].
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong",
+                                "true")
+            df = self.spark.read.parquet(self.path("events"))
+            df = df.withColumn("ts",
+                               F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            df = self.spark.read.parquet(self.path("events"))
+        if not isinstance(df.schema["ts"].dataType, TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
 
     def info(self, name: str) -> TableInfo:

@@ -37,6 +37,9 @@ def get_spark(app_name: str = "drpt-spark", master: str | None = None,
         # nanosecond parquet timestamps (events table) read as TIMESTAMP_NTZ
         .config("spark.sql.legacy.parquet.nanosAsLong", "false")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # write INT64 micros (the modern representation), not INT96 —
+        # deterministic roundtrips through our own footer probing
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("DRPT_DRIVER_MEM", "8g"))

@@ -18,30 +18,39 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType, TimestampType)
 
-RAW_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as raw nanos
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", StringType()),  # cast after read
-    StructField("props", StringType()),
-])
-
-
 def read_event_stream(spark: SparkSession, sf_dir: str,
                       glob: str = "events.parquet") -> DataFrame:
-    """File-based event stream (one-file-per-batch), nanos -> timestamp.
+    """File-based event stream (one-file-per-batch) with the same schema
+    contract as ``Catalog._read_events``: ``ts`` is ``TimestampType``,
+    whether the fixture stores TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+    without UTC adjustment (which Spark surfaces as TIMESTAMP_NTZ).
     On a cluster this is the same code over a Kafka/file drop zone.
     ``glob`` selects the event files within ``sf_dir`` (file-stream
     sources need a directory, not a file)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import glob as _glob
+    import os
+
+    from ..catalog import parquet_ts_unit
+    from pyspark.sql.types import TimestampType
+
+    sample = sorted(_glob.glob(os.path.join(sf_dir, glob)))
+    unit = parquet_ts_unit(sample[0]) if sample else ""
+    if unit == "ns":
+        # Must stay set for the stream's lifetime — every micro-batch
+        # re-reads parquet footers; only flipped for nanos fixtures.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = (spark.read.option("pathGlobFilter", glob)
                   .parquet(sf_dir).schema)
     stream = (spark.readStream.schema(raw_schema)
               .option("maxFilesPerTrigger", 1)
               .option("pathGlobFilter", glob)
               .parquet(sf_dir))
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "ns":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif not isinstance(stream.schema["ts"].dataType, TimestampType):
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

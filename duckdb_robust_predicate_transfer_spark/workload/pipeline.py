@@ -775,12 +775,13 @@ def q_events_retention(spark, sf_dir):
     )
     SELECT g.lang,
            COUNT(*) AS docs_total,
-           SUM(g.is_en) AS docs_en,
-           SUM(CASE WHEN g.is_en = 1 AND g.is_q = 1
-                    THEN 1 ELSE 0 END) AS docs_quality,
-           SUM(CASE WHEN w.keep_id IS NOT NULL THEN 1 ELSE 0 END) AS docs_kept,
-           SUM(CASE WHEN w.keep_id IS NOT NULL THEN g.n_tok ELSE 0 END)
-             AS tokens_kept
+           CAST(SUM(g.is_en) AS BIGINT) AS docs_en,
+           CAST(SUM(CASE WHEN g.is_en = 1 AND g.is_q = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_quality,
+           CAST(SUM(CASE WHEN w.keep_id IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           CAST(SUM(CASE WHEN w.keep_id IS NOT NULL
+                    THEN g.n_tok ELSE 0 END) AS BIGINT) AS tokens_kept
     FROM gated g LEFT JOIN winners w ON g.doc_id = w.keep_id
     GROUP BY g.lang
     ORDER BY g.lang

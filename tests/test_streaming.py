@@ -48,14 +48,19 @@ def test_sessionize_stream_equals_batch_including_final_session(
     from duckdb_robust_predicate_transfer_spark.streaming.ops import (
         run_to_memory, sessionize_stream)
 
-    # raw (nanos) events split into 3 time-ordered files + sentinel
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    qs = raw.approxQuantile("ts", [0.33, 0.66], 0.01)
-    parts = [raw.filter(F.col("ts") <= qs[0]),
-             raw.filter((F.col("ts") > qs[0]) & (F.col("ts") <= qs[1])),
-             raw.filter(F.col("ts") > qs[1])]
-    far_future = raw.agg(F.max("ts")).collect()[0][0] + 10**15  # +~11 days
+    # normalized events split into 3 time-ordered files + sentinel
+    from datetime import timedelta
+
+    from duckdb_robust_predicate_transfer_spark.catalog import get_catalog
+    raw = get_catalog(spark, sf_dir).table("events")
+    qs = (raw.select(F.unix_micros("ts").alias("us"))
+          .approxQuantile("us", [0.33, 0.66], 0.01))
+    us = F.unix_micros("ts")
+    parts = [raw.filter(us <= qs[0]),
+             raw.filter((us > qs[0]) & (us <= qs[1])),
+             raw.filter(us > qs[1])]
+    far_future = (raw.agg(F.max("ts")).collect()[0][0]
+                  + timedelta(days=11))
     sentinel = spark.createDataFrame(
         [(-1, far_future, -1, "view", 0.0, "{}")], raw.schema)
     sdir = str(tmp_path / "ev_stream")
@@ -169,13 +174,18 @@ def test_asof_stream_equals_batch(spark, sf_dir, tmp_path):
     from duckdb_robust_predicate_transfer_spark.streaming.ops import (
         asof_stream, read_event_stream, run_to_memory)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    qs = raw.approxQuantile("ts", [0.33, 0.66], 0.01)
-    parts = [raw.filter(F.col("ts") <= qs[0]),
-             raw.filter((F.col("ts") > qs[0]) & (F.col("ts") <= qs[1])),
-             raw.filter(F.col("ts") > qs[1])]
-    far_future = raw.agg(F.max("ts")).collect()[0][0] + 10**15
+    from datetime import timedelta
+
+    from duckdb_robust_predicate_transfer_spark.catalog import get_catalog
+    raw = get_catalog(spark, sf_dir).table("events")
+    qs = (raw.select(F.unix_micros("ts").alias("us"))
+          .approxQuantile("us", [0.33, 0.66], 0.01))
+    us = F.unix_micros("ts")
+    parts = [raw.filter(us <= qs[0]),
+             raw.filter((us > qs[0]) & (us <= qs[1])),
+             raw.filter(us > qs[1])]
+    far_future = (raw.agg(F.max("ts")).collect()[0][0]
+                  + timedelta(days=11))
     sentinel = spark.createDataFrame(
         [(-1, far_future, -1, "view", 0.0, "{}")], raw.schema)
     sdir = str(tmp_path / "asof_stream")
