@@ -13,7 +13,7 @@ row crossed the JVM->Arrow->Python boundary, and at bench scale the
 sketch leg ran ~2x SLOWER than no transfer at all. This version keeps
 both sides inside whole-stage codegen:
 
-- **Build**: ``xxhash64`` -> k=5 bit positions per key (classic
+- **Build**: ``xxhash64`` -> k=3 bit positions per key (classic
   Kirsch-Mitzenmatter double hashing, in SQL arithmetic) ->
   ``explode`` -> ``groupBy(word).agg(bit_or(bit))``. The map-side
   partial aggregate collapses each partition to at most m/64 words
@@ -23,7 +23,7 @@ both sides inside whole-stage codegen:
   SPARSE word list once (<= m/8 bytes total), never a bitmap per
   partition.
 - **Probe**: the dense bitmap ships back as ONE broadcast row holding
-  an ``array<long>``; the membership test is 5 ``element_at`` +
+  an ``array<long>``; the membership test is k ``element_at`` +
   bit-shift SQL expressions fused into the probe scan's codegen stage
   (PhysicalUseBF's LookupSel -> selection vector,
   physical_use_bf.cpp:128-190). No join, no UDF, no shuffle.
@@ -47,7 +47,11 @@ import numpy as np
 
 from pyspark.sql import DataFrame, functions as F
 
-N_HASHES = 5
+# k=3 probes: at the 12-bits/key sizing below the false-positive rate is
+# (1 - e^(-3/12))^3 ~ 1% — ample for a pre-filter whose survivors still
+# pass through the exact join — and the probe predicate (the per-row cost
+# on the BIG side) is 40% cheaper than the classic k=5.
+N_HASHES = 3
 
 
 def _size_bits(est_rows: float) -> int:
@@ -129,7 +133,7 @@ def build_bloom(df: DataFrame, cols, est_rows: float) -> BloomSketch:
 
 def probe_bloom(df: DataFrame, cols, sketch: BloomSketch) -> DataFrame:
     """Filter df to rows whose key hash might be in the filter. The
-    bitmap rides in as one broadcast row; the 5 bit tests are plain SQL
+    bitmap rides in as one broadcast row; the k bit tests are plain SQL
     expressions inside the probe scan's codegen stage — false positives
     pass (later exact joins drop them), true matches never fail."""
     spark = df.sparkSession

@@ -211,6 +211,10 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         # key-set job(s) AND the final join (the analogue of CREATE_BF's
         # materialize-and-re-emit, physical_create_bf.cpp:201-242,441-557).
         # Tiny builds recompute for free — persist only above the bound.
+        # Sketch-tier builds measured FASTER without a forced persist
+        # here: the bloom aggregation needs only the key columns, so a
+        # column-pruned recompute of the reduction lineage beats
+        # materializing the build's full (wide) row payload.
         if (cfg.persist_reduced and op.build in reduced
                 and (est >= cfg.persist_min_rows
                      or op.build in multi_filter_builds)
@@ -225,12 +229,14 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         # filters are free in-process; ours cost a Spark job)
         probe_est = rows_est.get(op.probe, float("inf"))
         empty = False
+        build_n = None  # exact build row count when an eager agg ran
         if (cfg.filter_type in ("all", "minmax_only")
                 and (probe_est >= cfg.minmax_min_probe_rows
                      or cfg.filter_type == "minmax_only")):
             t0 = time.perf_counter()
             n, pred = _minmax_filter(probe, build, op)
             st.minmax_ms = (time.perf_counter() - t0) * 1e3
+            build_n = n
             if n == 0:
                 dfs[op.probe] = probe.where(F.lit(False))
                 empty = True
@@ -246,6 +252,21 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 from .bloom import build_bloom, probe_bloom
 
                 t0 = time.perf_counter()
+                if build_n is not None:
+                    # the min/max agg already counted the reduced build
+                    # exactly — size the filter right the first time,
+                    # eliminating the rebuild-on-underestimate pass
+                    # (bloom.py, ref physical_create_bf.cpp:385-406)
+                    # without any extra job
+                    est = build_n
+                elif op.build in reduced:
+                    # footer estimates describe the UNreduced table; a
+                    # decayed guess can undershoot and trigger the
+                    # rebuild pass. One count materializes the persisted
+                    # reduced build (which the bloom agg then reads from
+                    # cache) and sizes exactly.
+                    est = (st.build_rows if st.build_rows >= 0
+                           else build.count())
                 bloom = build_bloom(build, list(op.build_cols),
                                     est if est != float("inf") else 1e6)
                 st.build_ms = (time.perf_counter() - t0) * 1e3

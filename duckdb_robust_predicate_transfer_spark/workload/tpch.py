@@ -13,8 +13,14 @@ result change is caught by the correctness gate.
 
 Schema adaptations (testdata is a reduced TPC-H, TESTDATA.md):
 
-- Q2 and Q11 are omitted: both are fundamentally about ``partsupp``
-  (supply cost / supplier stock), which the testdata does not have.
+- Q2 and Q11 use a DERIVED ``partsupp``: the testdata has no partsupp
+  parquet, and the driver's DuckDB oracle only registers the ten fixed
+  tables — so both queries build partsupp deterministically inside the
+  SQL text itself (a CTE over part x a 4-row VALUES list, hash-spread
+  FKs into supplier, pure-integer supply cost in cents). Both engines
+  run the same statement, so the derived rows are identical by
+  construction, and the two-fact-sharing-two-dims join topology the
+  suite otherwise lacks (VERDICT r2 "What's missing" #3) is exercised.
 - date columns are TIMESTAMP; comparisons against DATE literals work
   identically in Spark and DuckDB.
 - ``l_commitdate < l_receiptdate`` ("late" lineitems, Q4/Q12/Q21)
@@ -76,6 +82,67 @@ _declare("q_tpch_q1", f"""
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
 """, "TPC-H Q1 pricing summary: single-table scan-heavy aggregate.")
+
+#: deterministic partsupp derivation shared by Q2/Q11: 4 supply offers
+#: per part, suppkey hash-spread over the (0-based, dense) supplier keys,
+#: supply cost kept in integer CENTS so every aggregate/min is exact
+#: integer arithmetic — no float summation-order or double-rounding
+#: divergence between Spark and DuckDB is possible.
+PARTSUPP_CTE = """
+    ns AS (SELECT COUNT(*) AS n FROM supplier),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 389 + g.i * 1543) % ns.n AS ps_suppkey,
+             (p_partkey * 13 + g.i * 29) % 20000 + 100
+               AS ps_supplycost_cents,
+             (p_partkey * 31 + g.i * 17) % 9999 + 1 AS ps_availqty
+      FROM part CROSS JOIN ns
+           CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(i)
+    )
+"""
+
+_declare("q_tpch_q2", f"""
+    WITH {PARTSUPP_CTE}
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           CAST(ps_supplycost_cents AS DOUBLE) / 100.0 AS ps_supplycost
+    FROM partsupp, part, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND p_size <= 15 AND p_type = 'ECONOMY'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND ps_supplycost_cents = (
+        SELECT MIN(ps2.ps_supplycost_cents)
+        FROM partsupp ps2, supplier s2, nation n2, region r2
+        WHERE ps2.ps_partkey = p_partkey
+          AND s2.s_suppkey = ps2.ps_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey
+          AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+""", "TPC-H Q2 minimum-cost supplier: the partsupp supply-cost "
+     "topology (two fact-ish tables sharing part+supplier dims) with "
+     "a correlated min subquery, over the derived partsupp CTE.")
+
+_declare("q_tpch_q11", f"""
+    WITH {PARTSUPP_CTE}
+    SELECT ps_partkey,
+           CAST(SUM(ps_supplycost_cents * ps_availqty) AS DOUBLE)
+             / 100.0 AS value
+    FROM partsupp, supplier, nation
+    WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      AND n_name = 'NATION_3'
+    GROUP BY ps_partkey
+    HAVING SUM(ps_supplycost_cents * ps_availqty) > (
+        SELECT SUM(ps2.ps_supplycost_cents * ps2.ps_availqty) / 1000
+        FROM partsupp ps2, supplier s2, nation n2
+        WHERE ps2.ps_suppkey = s2.s_suppkey
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_name = 'NATION_3')
+    ORDER BY value DESC, ps_partkey
+""", "TPC-H Q11 important stock identification: grouped supply value "
+     "vs a global-fraction scalar subquery, all-integer accumulation "
+     "over the derived partsupp CTE.")
 
 _declare("q_tpch_q3", f"""
     SELECT l_orderkey, {_dsum(REVENUE, "revenue")}, o_orderdate
