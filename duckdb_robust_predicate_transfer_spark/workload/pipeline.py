@@ -451,6 +451,85 @@ def q_dedup_minhash(spark, sf_dir):
                              k=32, bands=8, min_est_jaccard=0.4)
 
 
+@query(
+    "q_minhash_lsh_pairs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id,
+             arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS t
+      FROM w, UNNEST(GENERATE_SERIES(1, LEN(arr) - 2)) AS u(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+             MIN(md5('0|' || t)) AS h0, MIN(md5('1|' || t)) AS h1,
+             MIN(md5('2|' || t)) AS h2, MIN(md5('3|' || t)) AS h3,
+             MIN(md5('4|' || t)) AS h4, MIN(md5('5|' || t)) AS h5,
+             MIN(md5('6|' || t)) AS h6, MIN(md5('7|' || t)) AS h7
+      FROM tok GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs with ENGINE-PORTABLE hashing, so the
+    whole pipeline is oracle-verifiable (the q_dedup_minhash operator
+    stays on xxhash64 — faster, but engine-specific, hence rows-only).
+
+    Min-wise hashing needs only a uniform hash with a total order;
+    md5 hex strings (lexicographic min) satisfy both and are
+    bit-identical in Spark and DuckDB. 3-word shingles (word unigrams
+    collapse under shared stopwords — nearly every doc pair would
+    collide), 8 signatures -> 4 bands of 2: docs sharing any band
+    bucket become a candidate pair. Scale shape is identical to
+    operators/dedup.py:40-89 — shingles explode -> map-side-combined
+    min aggregation, band bucket equi-join, never all-pairs (the
+    reference has no dedup surface; training-data mandate)."""
+    e = eng(spark, sf_dir)
+    w = (e.table("documents")
+         .select("doc_id", F.split(F.col("text"), " ", -1).alias("arr"))
+         .filter(F.size("arr") >= 3))
+    tok = (w.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("arr") - 2)).alias("i"),
+        "arr")
+        .select("doc_id",
+                F.concat_ws(" ", F.element_at("arr", F.col("i")),
+                            F.element_at("arr", F.col("i") + 1),
+                            F.element_at("arr", F.col("i") + 2)).alias("t"))
+        .distinct())
+    sig = tok.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("t")))).alias(f"h{i}")
+          for i in range(8)])
+    bands = None
+    for b in range(4):
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"h{2 * b}"),
+                           F.col(f"h{2 * b + 1}"))).alias("bh"))
+        bands = part if bands is None else bands.unionByName(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    return (a.join(bb, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
 @query("q_dedup_simhash")  # rows-only
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates (64-bit signatures, banded chunks)."""
