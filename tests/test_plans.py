@@ -189,6 +189,20 @@ def test_tpch_flagship_plans_are_scale_shaped(spark, sf_dir):
         assert plan.count("BroadcastHashJoin") >= 3, name
 
 
+def test_tpch_partsupp_queries_are_scale_shaped(spark, sf_dir):
+    """Q2/Q11 derive partsupp inside the SQL (part x 4-row VALUES):
+    the only acceptable nested-loop joins are against 1-row (ns count)
+    or 4-row (VALUES) broadcast sides — a true cartesian between data
+    tables must never appear, and the derived partsupp must join its
+    dims hash-based."""
+    for name in ("q_tpch_q2", "q_tpch_q11"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = physical(df)
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastHashJoin") >= 2, name
+        assert df.count() > 0, name
+
+
 def test_tpch_q5_region_filter_reaches_scan(spark, sf_dir):
     plan = physical(QUERIES["q_tpch_q5"](spark, sf_dir))
     assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(r_name", plan)
