@@ -173,6 +173,25 @@ def dedup_stream(events: DataFrame, keys: list | None = None,
             .dropDuplicatesWithinWatermark(keys))
 
 
+def curated_doc_stream(docs: DataFrame, ts_col: str = "ingest_ts",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming corpus-curation ingest: the q_corpus_curation gates
+    (language-ID + quality, functions/text.py — stateless JVM
+    expressions that fuse into the scan) followed by exact content
+    dedup with watermark-bounded state. The batch funnel backfills the
+    corpus; this is the same pipeline for the live firehose — state is
+    one md5 per distinct surviving document within the watermark
+    window, the only viable contract for an unbounded ingest.
+    ``docs`` must carry an event-time column ``ts_col``."""
+    from ..functions import text as T
+
+    return (docs
+            .filter((T.lang_guess() == "en") & (T.quality_passes() == 1))
+            .withColumn("content_h", F.md5("text"))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["content_h"]))
+
+
 def stream_stream_conversions(events: DataFrame, window_s: int = 3600,
                               watermark: str = "2 hours") -> DataFrame:
     """Stream-stream interval join: each view event matched to the same

@@ -162,6 +162,53 @@ def test_enriched_stream_matches_batch_join(spark, sf_dir):
             == sorted(map(tuple, expect.collect())))
 
 
+def test_curated_doc_stream_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming curation ingest == batch gates + dedup on the same
+    documents: split the corpus into two micro-batch files with
+    injected ingest timestamps; the gate survivors' distinct content
+    hashes must match the batch pipeline exactly (dedup reps may
+    differ between arrival order and batch hash order, so compare the
+    deduplicated content-hash sets)."""
+    import os
+    from datetime import datetime
+
+    from duckdb_robust_predicate_transfer_spark.catalog import get_catalog
+    from duckdb_robust_predicate_transfer_spark.functions import text as T
+    from duckdb_robust_predicate_transfer_spark.streaming.ops import (
+        curated_doc_stream, run_to_memory)
+
+    docs = get_catalog(spark, sf_dir).table("documents")
+    half = docs.count() // 2
+    parts = [docs.filter(F.col("doc_id") < half),
+             docs.filter(F.col("doc_id") >= half)]
+    sdir = str(tmp_path / "doc_stream")
+    os.makedirs(sdir, exist_ok=True)
+    for i, p in enumerate(parts):
+        ts = datetime(2024, 1, 1, 10 + i)
+        tmp = str(tmp_path / f"doc_tmp_b{i}")
+        (p.withColumn("ingest_ts", F.lit(ts).cast("timestamp"))
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(sdir, f"b{i}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    schema = (spark.read.parquet(sdir).schema)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(sdir))
+    got = run_to_memory(curated_doc_stream(stream), "curated_docs_test")
+    got_hashes = sorted(r.content_h for r in
+                        got.select("content_h").distinct().collect())
+
+    batch = (docs.filter((T.lang_guess() == "en")
+                         & (T.quality_passes() == 1))
+             .select(F.md5("text").alias("content_h")).distinct())
+    expect_hashes = sorted(r.content_h for r in batch.collect())
+    assert got_hashes == expect_hashes
+    # every emitted row is unique per content hash (dedup held)
+    assert got.count() == got.select("content_h").distinct().count()
+
+
 def test_asof_stream_equals_batch(spark, sf_dir, tmp_path):
     """Streaming as-of == batch as-of on the same events: time-ordered
     micro-batch files + a far-future sentinel advance the watermark so
