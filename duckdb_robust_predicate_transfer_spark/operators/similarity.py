@@ -183,6 +183,47 @@ def ivf_centroids(corpus: DataFrame, id_col: str = "vec_id",
             .orderBy("__h").limit(n_centroids).drop("__h"))
 
 
+def ivf_train_centroids(corpus: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", n_centroids: int = 16,
+                        iters: int = 2) -> DataFrame:
+    """Spherical k-means refinement of the hash-sample centroids — the
+    "trained at scale" upgrade the IVF layout was designed to accept
+    (ivf_centroids docstring). Pure DataFrame ops per iteration:
+
+    - assign: |corpus| x broadcast-K cosine argmax (one map-side fold);
+    - recompute: per-dimension mean via posexplode -> groupBy
+      (centroid, pos) with map-side partial aggregation, so the shuffle
+      is bounded by partitions x K x dim — NOT by corpus size — then
+      collect_list re-assembles the K x dim mean vectors.
+
+    Cosine ranking is scale-invariant, so means need no re-normalizing.
+    A centroid that attracts no vectors drops out (K shrinks), which
+    only ever reduces probe cost. Iteration is the textbook Lloyd loop;
+    each pass is one bounded shuffle, the cluster-scale index build
+    cadence (train rarely, probe constantly)."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    ed = corpus.select(F.col(id_col).alias("__vid"),
+                       as_double(vec_col).alias("ed"))
+    for _ in range(max(iters, 0)):
+        scored = (ed.crossJoin(F.broadcast(cents))
+                  .withColumn("sim", cosine_sim("ed", "cd")))
+        best = (scored.groupBy("__vid")
+                .agg(F.max(F.struct(F.col("sim"), F.col("centroid_id")))
+                     .alias("b"))
+                .select("__vid", F.col("b.centroid_id").alias("centroid_id")))
+        cents = (ed.join(best, "__vid")
+                 .select("centroid_id",
+                         F.posexplode("ed").alias("pos", "val"))
+                 .groupBy("centroid_id", "pos")
+                 .agg(F.avg("val").alias("m"))
+                 .groupBy("centroid_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                      .alias("sm"))
+                 .select("centroid_id",
+                         F.expr("transform(sm, s -> s.m)").alias("cd")))
+    return cents
+
+
 def ivf_assign(corpus: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding"
                ) -> DataFrame:
@@ -219,14 +260,16 @@ def ivf_topk_batch(corpus: DataFrame, queries: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    qid_col: str = "qid", qvec_col: str = "qv",
                    k: int = 10, n_centroids: int = 16,
-                   nprobe: int = 4) -> DataFrame:
+                   nprobe: int = 4, train_iters: int = 0) -> DataFrame:
     """IVF approximate top-k for a whole query set with NO driver-side
     step (the single-query variant collects its probe list; this one
     ranks centroids per query inside the plan): queries x broadcast
     centroids -> top-nprobe lists per query -> join against the
     inverted-file assignment -> exact rescore, ranked per query. Scan
     work drops to ~|corpus| * nprobe / n_centroids per query."""
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cents = (ivf_train_centroids(corpus, id_col, vec_col, n_centroids,
+                                 train_iters) if train_iters > 0
+             else ivf_centroids(corpus, id_col, vec_col, n_centroids))
     qd = queries.select(F.col(qid_col).alias("__qid"),
                         as_double(qvec_col).alias("qd"))
     wq = Window.partitionBy("__qid").orderBy(

@@ -278,6 +278,28 @@ def q_ann_recall_ivf(spark, sf_dir):
     return ann_recall(exact, approx)
 
 
+@query("q_ann_recall_ivf_trained")  # approximate index metric => rows-only
+def q_ann_recall_ivf_trained(spark, sf_dir):
+    """Recall@10 of the IVF index with Lloyd-trained centroids
+    (operators/similarity.py:ivf_train_centroids — two spherical
+    k-means passes, each one bounded shuffle) against the exact batch
+    baseline: the cluster-scale quantizer the hash-sample init stands
+    in for."""
+    from ..operators.similarity import (
+        ann_recall, brute_force_topk_batch, ivf_topk_batch)
+
+    e = eng(spark, sf_dir)
+    emb = e.table("embeddings")
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    exact = brute_force_topk_batch(corpus, queries, k=10)
+    approx = ivf_topk_batch(corpus, queries, k=10,
+                            n_centroids=16, nprobe=6, train_iters=2)
+    return ann_recall(exact, approx)
+
+
 @query(
     "q_embedding_norms",
     oracle="""

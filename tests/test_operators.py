@@ -287,3 +287,36 @@ def test_ivf_topk_overlaps_brute_force(spark, sf_dir):
     assert len(rows) == 10
     # nprobe=half the lists => decent recall on the fixture
     assert len(set(r.vec_id for r in rows) & set(exact)) >= 3
+
+
+def test_ivf_trained_centroids_recall(spark, sf_dir):
+    """Lloyd-refined centroids must not degrade recall vs the
+    hash-sample init (they sharpen list boundaries, so candidates'
+    true neighbors concentrate in fewer probes), and the trained
+    quantizer must keep the index layout contract (cd arrays of the
+    corpus dimensionality, <= K centroids)."""
+    from duckdb_robust_predicate_transfer_spark.operators.similarity import (
+        ann_recall, brute_force_topk_batch, ivf_topk_batch,
+        ivf_train_centroids)
+
+    emb = get_catalog(spark, sf_dir).table("embeddings")
+    queries = (emb.filter(F.col("vec_id") < 8)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
+    corpus = emb.filter(F.col("vec_id") >= 8)
+
+    cents = ivf_train_centroids(corpus, n_centroids=8, iters=2)
+    crows = cents.collect()
+    dim = len(emb.limit(1).collect()[0].embedding)
+    assert 0 < len(crows) <= 8
+    assert all(len(r.cd) == dim for r in crows)
+
+    exact = brute_force_topk_batch(corpus, queries, k=10)
+    base = ann_recall(
+        exact, ivf_topk_batch(corpus, queries, k=10, n_centroids=8,
+                              nprobe=4)).collect()[0].mean_recall
+    trained = ann_recall(
+        exact, ivf_topk_batch(corpus, queries, k=10, n_centroids=8,
+                              nprobe=4, train_iters=2)).collect()[0] \
+        .mean_recall
+    assert trained >= base - 0.05, (trained, base)
