@@ -78,7 +78,13 @@ class RPTConfig:
     #: min/max scan-pushdown transfer only pays when the probe scan is big:
     #: each min/max is an eager driver-side agg job (fixed ~0.1-0.3 s of
     #: latency) whose payoff is Parquet row-group pruning on the probe
-    #: scan — a win only when that scan is huge
+    #: scan — a win only when that scan is huge AND the build's filter
+    #: correlates with the key range (e.g. TPC-H date filters on orders
+    #: narrow the orderkey range). On hash-uniform FKs the reduced build
+    #: still spans the probe's whole key range and the agg cannot prune
+    #: anything — use filter_type='bf_only' for that workload shape
+    #: (measured: cascade2's multi-col transfer is 1.6x with bf_only vs
+    #: ~1.0x with the min/max legs included, CASCADE2_r03.json)
     minmax_min_probe_rows: int = 5_000_000
     #: backward-pass ops only into probes at least this big: reducing a
     #: small table can't help (the final join already handles it cheaply);
