@@ -30,6 +30,34 @@ def parquet_row_count(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def parquet_col_range(path: str, column: str):
+    """(min, max) of ``column`` across all row groups from parquet
+    footer statistics — free (no scan), exact. None when statistics are
+    absent. The probe-side yardstick for deciding whether a min/max
+    transfer predicate can prune anything at all."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        import glob as _glob
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    lo = hi = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
 def parquet_ts_unit(path: str, column: str = "ts") -> str:
     """The parquet footer's logical timestamp unit for ``column``
     ('ns', 'us', 'ms'), or '' if the column is not an INT64 logical

@@ -81,10 +81,11 @@ class RPTConfig:
     #: scan — a win only when that scan is huge AND the build's filter
     #: correlates with the key range (e.g. TPC-H date filters on orders
     #: narrow the orderkey range). On hash-uniform FKs the reduced build
-    #: still spans the probe's whole key range and the agg cannot prune
-    #: anything — use filter_type='bf_only' for that workload shape
-    #: (measured: cascade2's multi-col transfer is 1.6x with bf_only vs
-    #: ~1.0x with the min/max legs included, CASCADE2_r03.json)
+    #: still spans the probe's whole key range and nothing can prune; the
+    #: rewriter detects this from the probe's parquet footer range (free)
+    #: and skips attaching the useless predicate (rewrite.py
+    #: _minmax_filter), so only the agg job itself remains as overhead —
+    #: filter_type='bf_only' removes that too for known-uniform keys
     minmax_min_probe_rows: int = 5_000_000
     #: backward-pass ops only into probes at least this big: reducing a
     #: small table can't help (the final join already handles it cheaply);

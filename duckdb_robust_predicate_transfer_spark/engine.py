@@ -182,6 +182,7 @@ class Engine:
         nodes: list = []
         filtered: set = set()
         rows_est: dict = {}
+        paths: dict = {}
         for alias, spec in rels.items():
             if isinstance(spec, str):
                 spec = Rel(spec)
@@ -194,6 +195,7 @@ class Engine:
                     # footer stats apply to df overrides too when they are
                     # (filtered) base tables, e.g. the auto-SQL path
                     base_rows = float(self.catalog.row_count(spec.name))
+                    paths[alias] = self.catalog.path(spec.name)
                 except Exception:
                     base_rows = 0.0
             if spec.filter is not None:
@@ -269,7 +271,8 @@ class Engine:
 
         planning_ms = (_time.perf_counter() - t_plan) * 1e3
 
-        res = apply_transfer(dfs, rows_est, filtered, plan, cfg)
+        res = apply_transfer(dfs, rows_est, filtered, plan, cfg,
+                             probe_paths=paths)
         res.planning_ms = planning_ms
         if cfg.profiling:
             # the reference prints its per-op summary at QueryEnd when

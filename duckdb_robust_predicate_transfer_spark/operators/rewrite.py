@@ -123,9 +123,20 @@ class TransferResult:
         return "\n".join(lines)
 
 
-def _minmax_filter(probe: DataFrame, build: DataFrame, op: TransferOp):
+def _minmax_filter(probe: DataFrame, build: DataFrame, op: TransferOp,
+                   probe_path: str | None = None):
     """Compute per-column min/max on the build side (one small agg job)
-    and return (n_build_rows, between-predicate or None)."""
+    and return (n_build_rows, between-predicate or None).
+
+    When the probe is a base-table scan whose parquet footer range is
+    known (free — no scan), a per-column predicate is attached ONLY if
+    the build's range actually narrows it: on hash-uniform FKs the
+    reduced build still spans the probe's whole key range, and a
+    non-narrowing BETWEEN costs two comparisons per probe row while
+    pruning zero row groups (measured on the cascade2 fixture:
+    the useless min/max legs ate the entire transfer win). The
+    reference attaches unconditionally because its in-process filters
+    are free (physical_create_bf.cpp:331-345); ours are not."""
     dtypes = dict(build.dtypes)
     aggs = [F.count(F.lit(1)).alias("__n")]
     usable = []
@@ -138,6 +149,16 @@ def _minmax_filter(probe: DataFrame, build: DataFrame, op: TransferOp):
     n = row["__n"]
     if n == 0:
         return 0, None
+    ranges = {}
+    if probe_path is not None:
+        from ..catalog import parquet_col_range
+        for pc in op.probe_cols:
+            try:
+                r = parquet_col_range(probe_path, pc)
+            except Exception:
+                r = None
+            if r is not None:
+                ranges[pc] = r
     pred = None
     for bc, pc in zip(op.build_cols, op.probe_cols):
         if bc not in usable:
@@ -145,15 +166,22 @@ def _minmax_filter(probe: DataFrame, build: DataFrame, op: TransferOp):
         lo, hi = row[f"__min_{bc}"], row[f"__max_{bc}"]
         if lo is None:
             continue
+        pr = ranges.get(pc)
+        if pr is not None and lo <= pr[0] and hi >= pr[1]:
+            continue  # cannot narrow the scan: skip the per-row cost
         p = F.col(pc).between(F.lit(lo), F.lit(hi))
         pred = p if pred is None else (pred & p)
     return n, pred
 
 
 def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
-                   plan: TransferPlan, cfg: RPTConfig) -> TransferResult:
+                   plan: TransferPlan, cfg: RPTConfig,
+                   probe_paths: dict | None = None) -> TransferResult:
     """Execute the schedule over ``dfs`` (alias -> DataFrame), mutating a
-    copy; returns reduced DataFrames plus optional per-step stats."""
+    copy; returns reduced DataFrames plus optional per-step stats.
+    ``probe_paths`` (alias -> parquet path) enables footer-range-aware
+    min/max skipping for base-table probes."""
+    probe_paths = probe_paths or {}
     dfs = dict(dfs)
     res = TransferResult(dfs=dfs, plan=plan)
     reduced: set = set()
@@ -234,7 +262,12 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 and (probe_est >= cfg.minmax_min_probe_rows
                      or cfg.filter_type == "minmax_only")):
             t0 = time.perf_counter()
-            n, pred = _minmax_filter(probe, build, op)
+            # the footer range is a superset of the probe's actual range
+            # (reductions only shrink it), so "build range covers the
+            # footer range => the predicate prunes nothing" stays valid
+            # even for an already-reduced probe
+            n, pred = _minmax_filter(probe, build, op,
+                                     probe_path=probe_paths.get(op.probe))
             st.minmax_ms = (time.perf_counter() - t0) * 1e3
             build_n = n
             if n == 0:
