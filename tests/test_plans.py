@@ -218,6 +218,40 @@ def test_corpus_curation_single_scan_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_minmax_skips_non_narrowing_predicates(spark, sf_dir, tmp_path):
+    """Footer-range-aware min/max: a build range covering the probe's
+    parquet footer range must attach NO predicate (it cannot prune, it
+    only costs per-row comparisons); a genuinely narrower build range
+    must still attach one."""
+    from duckdb_robust_predicate_transfer_spark.catalog import (
+        parquet_col_range)
+    from duckdb_robust_predicate_transfer_spark.operators.rewrite import (
+        _minmax_filter)
+    from duckdb_robust_predicate_transfer_spark.plans.ir import TransferOp
+
+    p = str(tmp_path / "probe.parquet")
+    spark.range(1000).selectExpr("id AS k", "id AS v") \
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    assert parquet_col_range(p, "k") == (0, 999)
+
+    probe = spark.read.parquet(p)
+    op = TransferOp(build="b", probe="p", build_cols=("k",),
+                    probe_cols=("k",), phase="forward")
+
+    full = spark.range(1000).selectExpr("id AS k")  # covers 0..999
+    n, pred = _minmax_filter(probe, full, op, probe_path=p)
+    assert n == 1000 and pred is None
+
+    narrow = spark.range(100, 200).selectExpr("id AS k")
+    n, pred = _minmax_filter(probe, narrow, op, probe_path=p)
+    assert n == 100 and pred is not None
+    assert probe.where(pred).count() == 100
+
+    # without footer knowledge the predicate attaches either way
+    n, pred = _minmax_filter(probe, full, op, probe_path=None)
+    assert pred is not None
+
+
 def test_bloom_probe_stays_in_codegen(spark, sf_dir):
     """The sketch probe must be SQL bit tests fused into the probe
     side, never a Python eval node (the regression that made the
