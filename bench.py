@@ -80,6 +80,11 @@ def main():
         except Exception as exc:  # noqa: BLE001
             times[name] = None
             _err_line(name, exc)
+        # a persist leaked by one query's transfer would let the
+        # CacheManager rewrite the NEXT query's scans (and time a cache
+        # hit instead of the real plan) — each query times independently,
+        # like the reference's fresh-process-per-query protocol
+        spark.catalog.clearCache()
 
     extra = {}
     if os.environ.get("BENCH_ABLATION", "1") != "0":
@@ -131,6 +136,7 @@ def main():
                     _err_line(f"ablation:{name}", exc)
                     spark.conf.set(rf_conf, "false")
                     set_default_config(None)
+                spark.catalog.clearCache()
             if speedup:
                 extra["rpt_speedup"] = speedup
                 extra["rpt_speedup_geomean"] = round(math.exp(
@@ -190,6 +196,8 @@ def _cascade_section(spark, runs: int, extra: dict) -> None:
             force(cascade.run_cascade(spark, fdir, cfg))
             dt = time.time() - t0
             spark.conf.set(rf_conf, "false")
+            # legs must not see each other's persisted build sides
+            spark.catalog.clearCache()
             return dt
 
         cascade_leg(off_cfg, False)  # untimed: page cache + codegen warmup

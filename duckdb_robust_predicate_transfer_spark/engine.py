@@ -175,8 +175,19 @@ class Engine:
 
     def reduce(self, rels: dict, edges: list,
                config: RPTConfig | None = None) -> dict:
-        """Apply robust predicate transfer; returns alias -> reduced DF."""
+        """Apply robust predicate transfer; returns alias -> reduced DF.
+
+        Persisted build sides from the PREVIOUS reduce are released
+        here: Spark's CacheManager substitutes any matching subplan
+        with a leaked cached relation, so an unreleased persist from
+        query N silently rewrites query N+1's scans (full-width
+        InMemoryRelation instead of a pruned FileScan). One query's
+        persists live exactly until the next query plans.
+        """
         cfg = (config or self.config).validate()
+        if self.last_result is not None:
+            self.last_result.release()
+            self.last_result = None
 
         dfs: dict = {}
         nodes: list = []

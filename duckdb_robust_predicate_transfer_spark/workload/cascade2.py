@@ -142,6 +142,8 @@ def main() -> int:
         run_cascade2(spark, fdir, cfg).write.format("noop") \
             .mode("overwrite").save()
         spark.conf.set(rf_conf, "false")
+        # legs must not see each other's persisted build sides
+        spark.catalog.clearCache()
         return time.time() - t0
 
     # hash-uniform FKs mean the build sides' min/max spans the probe's

@@ -14,6 +14,9 @@ def spark():
 
     s = get_spark(app_name="drpt-tests", master="local[8]",
                   shuffle_partitions=8)
+    # plan-audit tests parse executedPlan().toString(); keep long
+    # FileScan lines from truncating to "... N more fields"
+    s.conf.set("spark.sql.debug.maxToStringFields", "200")
     yield s
     s.stop()
 
@@ -21,3 +24,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _clear_cache_between_tests(request, spark):
+    """A persist leaked by one test rewrites later tests' plans (the
+    CacheManager substitutes cached relations into any matching
+    subplan), turning pruned FileScans into full-width
+    InMemoryRelations. Plan-audit tests in particular must see clean
+    scans."""
+    yield
+    spark.catalog.clearCache()

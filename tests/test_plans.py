@@ -20,13 +20,19 @@ def physical(df) -> str:
 
 
 def scans(plan: str) -> list:
-    """[(file, read_schema_cols)] per FileScan in the plan."""
+    """[(file, read_schema_cols)] per FileScan in the plan. Line-based:
+    a FileScan prints as one line, and a multi-line regex can jump
+    across the '===== Subqueries =====' section (which appears whenever
+    Spark's native runtime filter injects a bloom subquery — session-
+    order dependent) and stitch together garbage."""
     out = []
-    for m in re.finditer(
+    for line in plan.splitlines():
+        m = re.search(
             r"FileScan parquet .*?file:[^\]]*/(\w+)\.parquet.*?"
-            r"ReadSchema: struct<([^>]*)>", plan):
-        cols = [c.split(":")[0] for c in m.group(2).split(",") if c]
-        out.append((m.group(1), cols))
+            r"ReadSchema: struct<([^>]*)>", line)
+        if m:
+            cols = [c.split(":")[0] for c in m.group(2).split(",") if c]
+            out.append((m.group(1), cols))
     return out
 
 
