@@ -108,6 +108,14 @@ CASCADE_CONFIG = RPTConfig(pass_mode="forward_only")
 #: threshold): the tier for build sides whose distinct-key broadcast
 #: would not fit — at 100 TB the common case, and the reference's only
 #: mechanism (PTBloomFilter). dim -> mid stays exact (60k est keys).
+#: Measured with strict between-leg cache isolation, the sketch leg runs
+#: ~1.5x the exact leg here: its bitmap aggregation is a separate
+#: eager job over the reduced build, where the exact tier folds the
+#: key-set recompute into the probe's own stage. That is the structural
+#: price of a fixed-size transfer, which is why the default config only
+#: reaches for the sketch when the key set is too big to broadcast at
+#: all (sketch_threshold_rows) — at THIS fixture's scale it is forced
+#: purely to keep the tier exercised and measured.
 CASCADE_SKETCH_CONFIG = CASCADE_CONFIG.with_(
     use_sketch=True, sketch_threshold_rows=500_000)
 
