@@ -270,6 +270,12 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                                      probe_path=probe_paths.get(op.probe))
             st.minmax_ms = (time.perf_counter() - t0) * 1e3
             build_n = n
+            # AQE-style mid-schedule feedback (SURVEY §7: "measure at
+            # persist time ... a place we can beat the reference"): the
+            # agg just measured this relation exactly, so every later
+            # gate/broadcast/persist decision involving it uses the
+            # observed size instead of a decayed footer guess
+            rows_est[op.build] = float(n)
             if n == 0:
                 dfs[op.probe] = probe.where(F.lit(False))
                 empty = True
