@@ -1,0 +1,133 @@
+"""Bucketed co-located transfer: the zero-join-shuffle scale path.
+
+At cluster scale the biggest single cost in the cascade is the fact
+table's join shuffle. Bucketing fact and mid on the join key removes
+that exchange entirely (bucket-local sort-merge join), and predicate
+transfer composes with it: the probe-side semi joins are broadcasts
+(no shuffle of their own), so the reduced fact flows into the
+bucket-local join with NO Exchange anywhere below the final aggregate.
+
+This tool certifies that composition on the 30M-row cascade fixture:
+
+- writes fact/mid as bucketed+sorted saved tables (one-time; the
+  cluster-side analogue is a bucketed warehouse table maintained by
+  ingest);
+- asserts the joined plan contains no ``Exchange hashpartitioning``
+  below the aggregation, with the transfer ON and OFF;
+- times both legs with strict cache isolation and checks rpt == off.
+
+Run: python -u tools/bucketed_cascade.py   (emits one JSON line;
+artifact committed as BUCKETED_r{N}.json)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_BUCKETS = 16
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
+    from duckdb_robust_predicate_transfer_spark.session import get_spark
+    from duckdb_robust_predicate_transfer_spark.workload import cascade
+
+    spark = get_spark(app_name="drpt-bucketed")
+    spark.sparkContext.setLogLevel("ERROR")
+    fdir = cascade.ensure_fixture(spark)
+
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir",
+                               "/tmp/drpt-warehouse").replace("file:", "")
+    for name, key in (("fact", "f_mk"), ("mid", "m_mk")):
+        tbl = f"drpt_bucketed_{name}"
+        if not spark.catalog.tableExists(tbl):
+            # the metastore is per-session (in-memory derby); a prior
+            # run's orphaned location must be cleared before re-saving
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            loc = os.path.join(warehouse, tbl)
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+            (spark.read.parquet(os.path.join(fdir, f"{name}.parquet"))
+             .write.bucketBy(N_BUCKETS, key).sortBy(key)
+             .mode("overwrite").saveAsTable(tbl))
+    bfact = spark.table("drpt_bucketed_fact")
+    bmid = spark.table("drpt_bucketed_mid")
+
+    # fact|><|mid exceeds broadcast reach either way (mid is ~200 MB
+    # wide, ~30 MB even reduced), so bucketing is what removes ITS
+    # exchange; the small dim and the transfer key-sets broadcast as
+    # they should — no conf override needed
+
+    def build(cfg):
+        e = Engine(spark, fdir, cfg)
+        j = e.reduce_and_join(
+            {"f": Rel("fact", df=bfact), "m": Rel("mid", df=bmid),
+             "d": Rel("dim", "d_seg = 0")},
+            [("f", "m", "f_mk", "m_mk"), ("m", "d", "m_dk", "d_dk")])
+        return (j.groupBy("f_cat")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.sum(F.col("f_amount").cast("decimal(18,4)"))
+                     .alias("amt")))
+
+    off_cfg = RPTConfig(enabled=False)
+    # dim (300k rows) exceeds the broadcast bail but IS the selective
+    # build; force gates open so the transfer engages as it would at
+    # cluster scale
+    rpt_cfg = cascade.CASCADE_CONFIG
+
+    def n_join_shuffles(df) -> int:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # every Exchange below the partial aggregate is a join shuffle;
+        # the aggregation's own exchange is legitimate and unavoidable
+        agg_exchanges = plan.count("Exchange hashpartitioning(f_cat")
+        return plan.count("Exchange hashpartitioning") - agg_exchanges
+
+    shuffles = {"off": n_join_shuffles(build(off_cfg)),
+                "rpt": n_join_shuffles(build(rpt_cfg))}
+    spark.catalog.clearCache()
+
+    def leg(cfg) -> float:
+        t0 = time.time()
+        build(cfg).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        spark.catalog.clearCache()
+        return dt
+
+    leg(off_cfg)  # warmup
+    best = {"off": math.inf, "rpt": math.inf}
+    for _ in range(3):
+        best["off"] = min(best["off"], leg(off_cfg))
+        best["rpt"] = min(best["rpt"], leg(rpt_cfg))
+
+    on_rows = sorted(map(tuple, build(rpt_cfg).collect()))
+    off_rows = sorted(map(tuple, build(off_cfg).collect()))
+
+    out = {
+        "suite": "bucketed-colocated-transfer",
+        "n_buckets": N_BUCKETS,
+        "fact_rows": cascade.FACT_ROWS,
+        "mid_rows": cascade.MID_ROWS,
+        "join_shuffles": shuffles,
+        "sec": {k: round(v, 3) for k, v in best.items()},
+        "rpt_speedup": round(best["off"] / max(best["rpt"], 1e-3), 3),
+        "results_match": on_rows == off_rows,
+        "zero_join_shuffle": shuffles["off"] == 0 and shuffles["rpt"] == 0,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+    return 0 if (out["results_match"] and out["zero_join_shuffle"]) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
