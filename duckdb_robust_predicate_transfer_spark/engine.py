@@ -55,6 +55,14 @@ class Rel:
     #: the override df already carries a local filter (so the rewrite may
     #: treat it as selective even though ``filter`` is None)
     prefiltered: bool = False
+    #: columns this relation is bucketed/co-partitioned on. When BOTH
+    #: endpoints of a join edge declare the edge's own key columns here,
+    #: that join is already exchange-free (bucket-local), and transfer
+    #: along the edge is skipped: measured on the bucketed cascade, the
+    #: probe work buys nothing a co-located merge join wasn't already
+    #: doing (BUCKETED_r03.json, rpt 0.79x there) — the bounded-downside
+    #: gate turned into a declaration
+    colocated_on: tuple = ()
 
 
 def _norm_cols(c) -> tuple:
@@ -194,6 +202,7 @@ class Engine:
         filtered: set = set()
         rows_est: dict = {}
         paths: dict = {}
+        colocated: dict = {}
         for alias, spec in rels.items():
             if isinstance(spec, str):
                 spec = Rel(spec)
@@ -216,6 +225,8 @@ class Engine:
                 base_rows *= FILTER_SELECTIVITY
             dfs[alias] = df
             rows_est[alias] = base_rows
+            if spec.colocated_on:
+                colocated[alias] = frozenset(spec.colocated_on)
             nodes.append(TableNode(alias=alias, rows=base_rows,
                                    filtered=alias in filtered))
 
@@ -283,7 +294,7 @@ class Engine:
         planning_ms = (_time.perf_counter() - t_plan) * 1e3
 
         res = apply_transfer(dfs, rows_est, filtered, plan, cfg,
-                             probe_paths=paths)
+                             probe_paths=paths, colocated=colocated)
         res.planning_ms = planning_ms
         if cfg.profiling:
             # the reference prints its per-op summary at QueryEnd when

@@ -176,12 +176,17 @@ def _minmax_filter(probe: DataFrame, build: DataFrame, op: TransferOp,
 
 def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                    plan: TransferPlan, cfg: RPTConfig,
-                   probe_paths: dict | None = None) -> TransferResult:
+                   probe_paths: dict | None = None,
+                   colocated: dict | None = None) -> TransferResult:
     """Execute the schedule over ``dfs`` (alias -> DataFrame), mutating a
     copy; returns reduced DataFrames plus optional per-step stats.
     ``probe_paths`` (alias -> parquet path) enables footer-range-aware
-    min/max skipping for base-table probes."""
+    min/max skipping for base-table probes. ``colocated``
+    (alias -> frozenset of bucket columns) marks relations whose join on
+    those columns is already exchange-free — transfer along such an edge
+    is skipped (Rel.colocated_on)."""
     probe_paths = probe_paths or {}
+    colocated = colocated or {}
     dfs = dict(dfs)
     res = TransferResult(dfs=dfs, plan=plan)
     reduced: set = set()
@@ -228,6 +233,12 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         if (op.phase == "backward"
                 and rows_est.get(op.probe, float("inf"))
                 < cfg.backward_min_probe_rows):
+            continue
+        # 4. both endpoints declared bucketed on this edge's keys: the
+        #    join is already exchange-free, and transfer along it only
+        #    adds probe work (measured: BUCKETED_r03.json)
+        if (colocated.get(op.build) == frozenset(op.build_cols)
+                and colocated.get(op.probe) == frozenset(op.probe_cols)):
             continue
 
         st = StepStat(op=op)

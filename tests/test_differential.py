@@ -199,3 +199,34 @@ def test_wide_join_graph_differential(spark, sf_dir):
     finally:
         set_default_config(None)
     assert on == off
+
+
+def test_colocated_edge_skips_transfer(spark, sf_dir):
+    """Rel.colocated_on: when both endpoints of an edge declare the
+    edge's own key columns as their bucket columns, the (already
+    exchange-free) join gets no transfer ops — but other edges still
+    do, and results are identical either way."""
+    lineitem = Engine(spark, sf_dir).table("lineitem")
+    orders = Engine(spark, sf_dir).table("orders")
+
+    def run(colocate: bool):
+        co = ("l_orderkey",) if colocate else ()
+        co_o = ("o_orderkey",) if colocate else ()
+        e = Engine(spark, sf_dir, RPTConfig(**FORCE, profiling=True))
+        e.reduce(
+            {"l": Rel("lineitem", df=lineitem, colocated_on=co),
+             "o": Rel("orders", df=orders, colocated_on=co_o),
+             "c": Rel("customer", "c_acctbal > 1000")},
+            [("l", "o", "l_orderkey", "o_orderkey"),
+             ("o", "c", "o_custkey", "c_custkey")])
+        return e.last_result
+
+    with_edge = run(colocate=False)
+    without_edge = run(colocate=True)
+    edges_with = {(s.op.build, s.op.probe) for s in with_edge.stats}
+    edges_without = {(s.op.build, s.op.probe) for s in without_edge.stats}
+    assert ("o", "l") in edges_with or ("l", "o") in edges_with
+    assert ("o", "l") not in edges_without
+    assert ("l", "o") not in edges_without
+    # the c<->o edge is unaffected by the l<->o colocation
+    assert any("c" in e for e in edges_without)
