@@ -34,17 +34,18 @@ from duckdb_robust_predicate_transfer_spark.workload import ORACLE, QUERIES  # n
 #      when slots remain.
 #   4. rows-only queries (no oracle) — the driver's weaker check.
 _GRADE_FIRST = [
-    # round-2 red rows, fixed this round: TIMESTAMP_NTZ normalization
-    # (catalog.py) and the HUGEINT oracle cast (pipeline.py)
-    "q_events_sessionize", "q_events_interval_join", "q_corpus_curation",
-    # TPC-H queries never yet graded by the driver (locally verified via
-    # tools/oracle_check + BREADTH_r02, but the hard signal is the driver's)
-    "q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q6", "q_tpch_q10",
-    "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
-    "q_tpch_q16", "q_tpch_q17", "q_tpch_q19", "q_tpch_q20",
-    "q_tpch_q22",
+    # the one query with no green driver row across r1-r3: the r3 red was
+    # the DuckDB-HUGEINT oracle typing slip, fixed by CAST(... AS BIGINT)
+    # (workload/tpch.py) and now guarded by tools/oracle_check's type gate
+    "q_tpch_q12",
 ]
 _GRADE_LAST = [
+    # green in CORRECTNESS_r03
+    "q_events_sessionize", "q_events_interval_join", "q_corpus_curation",
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q4", "q_tpch_q6", "q_tpch_q10",
+    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16", "q_tpch_q17",
+    "q_tpch_q19", "q_tpch_q20", "q_tpch_q22", "q_minhash_lsh_pairs",
+    "q_tpch_q2", "q_tpch_q11",
     # green in CORRECTNESS_r01 (see VERDICT r1/r2 §2c notes)
     "q_right_join", "q_window_running_sum", "q_cosine_topk_batch",
     "q_empty_build_side", "q_anti_join",

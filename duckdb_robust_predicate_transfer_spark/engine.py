@@ -157,7 +157,9 @@ class Engine:
                 d = d.filter(f)
             rels[alias] = Rel(inst.table, df=d,
                               prefiltered=bool(inst.filters))
-        self.last_result = None
+        # reduce() releases the previous query's persists at entry; nulling
+        # last_result here instead would leak them for the life of the
+        # session (CacheManager plan pollution — see reduce()'s docstring)
         red = self.reduce(rels, ext.edges, cfg)
         if self.last_result is None:
             return None  # planner bailed (gates / <=1 edge)

@@ -74,61 +74,90 @@ class BloomSketch:
 
     ``len(sketch)`` is the bitmap size in bytes (the reference exposes
     the same through its filter allocation, bloom_filter.hpp:22-57).
+    ``ranges`` carries per-build-column (min, max) when the build pass
+    was asked to fold them in (stat_cols) — the CreateBF min/max
+    piggyback, physical_create_bf.cpp:331-345.
     """
 
-    def __init__(self, words: list, m_bits: int, n_rows: int):
+    def __init__(self, words: list, m_bits: int, n_rows: int,
+                 ranges: dict | None = None):
         self.words = words
         self.m_bits = m_bits
         self.n_rows = n_rows
+        self.ranges = ranges or {}
 
     def __len__(self) -> int:
         return self.m_bits // 8
 
 
-def _build_once(hashes: DataFrame, m_bits: int) -> tuple:
+def _build_once(hashes: DataFrame, m_bits: int, stat_cols=()) -> tuple:
     """One distributed JVM build pass -> (dense int64 word list,
-    observed build row count). The per-word position count rides along
-    in the same aggregation: its total is exactly n_rows * k, so the
-    observed cardinality costs no extra job (the reference counts rows
-    in its sink for the same purpose, physical_create_bf.cpp:201-242).
+    observed build row count, {stat_col: (min, max)}). The per-word
+    position count rides along in the same aggregation: its total is
+    exactly n_rows * k, so the observed cardinality costs no extra job
+    (the reference counts rows in its sink for the same purpose,
+    physical_create_bf.cpp:201-242). min/max of ``stat_cols`` ride the
+    same per-word partials and fold to global extrema on the driver —
+    the explode's x3 row duplication cannot change a min or a max, and
+    the per-word shuffle rows only grow by a few columns, so the whole
+    min/max+count+bitmap bundle costs ONE scan of the build lineage.
     """
-    pos_arr = ", ".join(_pos_sql("h", i, m_bits) for i in range(N_HASHES))
-    rows = (hashes
-            .selectExpr(f"explode(array({pos_arr})) AS pos")
-            .selectExpr("shiftright(pos, 6) AS word",
-                        "shiftleft(1L, cast(pos % 64 AS int)) AS bit")
-            .groupBy("word")
-            .agg(F.bit_or("bit").alias("bits"),
-                 F.count(F.lit(1)).alias("cnt"))
-            .collect())
-    n_rows = sum(r.cnt for r in rows) // N_HASHES
+    pos_arr = ", ".join(_pos_sql("__h", i, m_bits) for i in range(N_HASHES))
+    carry = [c for c in stat_cols]
+    stat_aggs = [a for c in carry
+                 for a in (F.min(c).alias(f"__min_{c}"),
+                           F.max(c).alias(f"__max_{c}"))]
+    # Arrow-batched driver transfer (toPandas): the word-partial result
+    # is m/64 rows and the row-at-a-time py4j collect() was measured as
+    # the dominant cost of the whole build job (~1 s at 131k words where
+    # the distributed agg itself took ~0.5 s)
+    pdf = (hashes
+           .selectExpr(f"explode(array({pos_arr})) AS pos",
+                       *[f"`{c}`" for c in carry])
+           .selectExpr("shiftright(pos, 6) AS word",
+                       "shiftleft(1L, cast(pos % 64 AS int)) AS bit",
+                       *[f"`{c}`" for c in carry])
+           .groupBy("word")
+           .agg(F.bit_or("bit").alias("bits"),
+                F.count(F.lit(1)).alias("cnt"), *stat_aggs)
+           .toPandas())
+    n_rows = int(pdf["cnt"].sum()) // N_HASHES
+    ranges = {}
+    for c in carry:
+        col = pdf[f"__min_{c}"].dropna()
+        if len(col):
+            lo, hi = col.min(), pdf[f"__max_{c}"].dropna().max()
+            # numpy scalars -> plain Python so F.lit() gets exact types
+            lo = lo.item() if hasattr(lo, "item") else lo
+            hi = hi.item() if hasattr(hi, "item") else hi
+            ranges[c] = (lo, hi)
     dense = np.zeros(m_bits // 64, dtype=np.int64)
-    if rows:
-        idx = np.fromiter((r.word for r in rows), dtype=np.int64,
-                          count=len(rows))
-        bits = np.fromiter((r.bits for r in rows), dtype=np.int64,
-                           count=len(rows))
-        dense[idx] = bits
-    return dense.tolist(), n_rows
+    if len(pdf):
+        dense[pdf["word"].to_numpy(dtype=np.int64)] = \
+            pdf["bits"].to_numpy(dtype=np.int64)
+    return dense, n_rows, ranges
 
 
-def build_bloom(df: DataFrame, cols, est_rows: float) -> BloomSketch:
+def build_bloom(df: DataFrame, cols, est_rows: float,
+                stat_cols=()) -> BloomSketch:
     """Distributed Bloom build with the reference's resize rule: if the
     observed build cardinality overflows the allocated bits (more than
     ~m/12 keys for our 12-bits/key sizing), rebuild once at the
     observed size — the analogue of PhysicalCreateBF rehashing into a
     bigger filter on underestimate (physical_create_bf.cpp:385-406).
     Estimates from parquet footers are upper bounds (builds only
-    shrink), so the second pass fires only when the caller guessed."""
-    hashes = df.select(F.xxhash64(*cols).alias("h"))
+    shrink), so the second pass fires only when the caller guessed.
+    ``stat_cols`` (a subset of df's columns) fold min/max into the same
+    build pass; results land on the returned sketch's ``ranges``."""
+    hashes = df.select(F.xxhash64(*cols).alias("__h"), *stat_cols)
     est = est_rows
     for attempt in range(2):
         m_bits = _size_bits(est)
-        words, n_rows = _build_once(hashes, m_bits)
+        words, n_rows, ranges = _build_once(hashes, m_bits, stat_cols)
         if n_rows * 12 <= m_bits or attempt == 1:
-            return BloomSketch(words, m_bits, n_rows)
+            break
         est = n_rows
-    return BloomSketch(words, m_bits, n_rows)
+    return BloomSketch(words, m_bits, n_rows, ranges)
 
 
 def probe_bloom(df: DataFrame, cols, sketch: BloomSketch) -> DataFrame:
@@ -136,8 +165,15 @@ def probe_bloom(df: DataFrame, cols, sketch: BloomSketch) -> DataFrame:
     bitmap rides in as one broadcast row; the k bit tests are plain SQL
     expressions inside the probe scan's codegen stage — false positives
     pass (later exact joins drop them), true matches never fail."""
+    import pandas as pd
+
     spark = df.sparkSession
-    arr_df = spark.createDataFrame([(sketch.words,)], "__bm array<bigint>")
+    # one-row pandas frame -> Arrow-path createDataFrame: the bitmap is
+    # m/8 bytes and the py4j literal-list path re-serializes it element
+    # by element
+    words = np.asarray(sketch.words, dtype=np.int64)
+    arr_df = spark.createDataFrame(pd.DataFrame({"__bm": [words]}),
+                                   schema="__bm array<bigint>")
     out = (df.withColumn("__h", F.xxhash64(*cols))
            .crossJoin(F.broadcast(arr_df)))
     conds = []

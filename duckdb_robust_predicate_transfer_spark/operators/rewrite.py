@@ -137,19 +137,32 @@ def _minmax_filter(probe: DataFrame, build: DataFrame, op: TransferOp,
     the useless min/max legs ate the entire transfer win). The
     reference attaches unconditionally because its in-process filters
     are free (physical_create_bf.cpp:331-345); ours are not."""
-    dtypes = dict(build.dtypes)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    usable = []
-    for c in op.build_cols:
-        if dtypes.get(c) in _MINMAX_TYPES:
-            aggs.append(F.min(c).alias(f"__min_{c}"))
-            aggs.append(F.max(c).alias(f"__max_{c}"))
-            usable.append(c)
+    usable = _minmax_cols(build, op)
+    for c in usable:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
     row = build.agg(*aggs).collect()[0]
     n = row["__n"]
     if n == 0:
         return 0, None
-    ranges = {}
+    build_ranges = {c: (row[f"__min_{c}"], row[f"__max_{c}"])
+                    for c in usable}
+    return n, _range_pred(build_ranges, op, probe_path)
+
+
+def _minmax_cols(build: DataFrame, op: TransferOp) -> list:
+    """The build columns whose min/max can become a probe BETWEEN."""
+    dtypes = dict(build.dtypes)
+    return [c for c in op.build_cols if dtypes.get(c) in _MINMAX_TYPES]
+
+
+def _range_pred(build_ranges: dict, op: TransferOp,
+                probe_path: str | None):
+    """{build_col: (lo, hi)} -> probe BETWEEN predicate (or None),
+    skipping any column whose build range does not narrow the probe's
+    parquet footer range (see _minmax_filter's rationale)."""
+    footer = {}
     if probe_path is not None:
         from ..catalog import parquet_col_range
         for pc in op.probe_cols:
@@ -158,20 +171,27 @@ def _minmax_filter(probe: DataFrame, build: DataFrame, op: TransferOp,
             except Exception:
                 r = None
             if r is not None:
-                ranges[pc] = r
+                footer[pc] = r
     pred = None
     for bc, pc in zip(op.build_cols, op.probe_cols):
-        if bc not in usable:
+        if bc not in build_ranges:
             continue
-        lo, hi = row[f"__min_{bc}"], row[f"__max_{bc}"]
+        lo, hi = build_ranges[bc]
         if lo is None:
             continue
-        pr = ranges.get(pc)
-        if pr is not None and lo <= pr[0] and hi >= pr[1]:
-            continue  # cannot narrow the scan: skip the per-row cost
+        pr = footer.get(pc)
+        try:
+            if pr is not None and lo <= pr[0] and hi >= pr[1]:
+                continue  # cannot narrow the scan: skip the per-row cost
+        except TypeError:
+            # footer stats and Spark values can surface as different
+            # Python types (bytes vs str for non-UTF8-annotated binary,
+            # Decimal vs raw); an incomparable pair must degrade to
+            # "attach the predicate", not abort the query
+            pass
         p = F.col(pc).between(F.lit(lo), F.lit(hi))
         pred = p if pred is None else (pred & p)
-    return n, pred
+    return pred
 
 
 def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
@@ -268,10 +288,13 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         # filters are free in-process; ours cost a Spark job)
         probe_est = rows_est.get(op.probe, float("inf"))
         empty = False
-        build_n = None  # exact build row count when an eager agg ran
-        if (cfg.filter_type in ("all", "minmax_only")
-                and (probe_est >= cfg.minmax_min_probe_rows
-                     or cfg.filter_type == "minmax_only")):
+        sketch_tier = (cfg.filter_type in ("all", "bf_only")
+                       and cfg.use_sketch
+                       and est > cfg.sketch_threshold_rows)
+        want_minmax = (cfg.filter_type in ("all", "minmax_only")
+                       and (probe_est >= cfg.minmax_min_probe_rows
+                            or cfg.filter_type == "minmax_only"))
+        if want_minmax and not sketch_tier:
             t0 = time.perf_counter()
             # the footer range is a superset of the probe's actual range
             # (reductions only shrink it), so "build range covers the
@@ -280,7 +303,6 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             n, pred = _minmax_filter(probe, build, op,
                                      probe_path=probe_paths.get(op.probe))
             st.minmax_ms = (time.perf_counter() - t0) * 1e3
-            build_n = n
             # AQE-style mid-schedule feedback (SURVEY §7: "measure at
             # persist time ... a place we can beat the reference"): the
             # agg just measured this relation exactly, so every later
@@ -294,43 +316,47 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 probe = probe.where(pred)
                 dfs[op.probe] = probe
 
-        if not empty and cfg.filter_type in ("all", "bf_only"):
-            if cfg.use_sketch and est > cfg.sketch_threshold_rows:
-                # sketch tier: ship a fixed-size bitmap instead of the key
-                # set — for build sides whose distinct-key shuffle would
-                # dominate (PTBloomFilter's role, bloom_filter.cpp:27-78)
-                from .bloom import build_bloom, probe_bloom
+        if not empty and sketch_tier:
+            # sketch tier: ship a fixed-size bitmap instead of the key
+            # set — for build sides whose distinct-key shuffle would
+            # dominate (PTBloomFilter's role, bloom_filter.cpp:27-78).
+            # count + min/max + bitmap all ride ONE scan of the build
+            # lineage (bloom._build_once's per-word partials): r3
+            # measured the old separate eager min/max job as the entire
+            # 1.37x sketch-vs-exact residual on the cascade.
+            from .bloom import build_bloom, probe_bloom
 
+            t0 = time.perf_counter()
+            stat_cols = _minmax_cols(build, op) if want_minmax else []
+            # a decayed estimate can undershoot the reduced build;
+            # build_bloom's resize rule self-corrects with one rebuild
+            # (ref physical_create_bf.cpp:385-406)
+            bloom = build_bloom(build, list(op.build_cols),
+                                est if est != float("inf") else 1e6,
+                                stat_cols=stat_cols)
+            st.build_ms = (time.perf_counter() - t0) * 1e3
+            rows_est[op.build] = float(bloom.n_rows)
+            if bloom.n_rows == 0:
+                dfs[op.probe] = probe.where(F.lit(False))
+            else:
+                pred = _range_pred(bloom.ranges, op,
+                                   probe_paths.get(op.probe))
+                if pred is not None:
+                    probe = probe.where(pred)
+                dfs[op.probe] = probe_bloom(probe, list(op.probe_cols),
+                                            bloom)
+            reduced.add(op.probe)
+            epochs[op.probe] = epochs.get(op.probe, 0) + 1
+            if op.probe in rows_est:
+                rows_est[op.probe] *= REDUCTION_DECAY
+            if cfg.profiling:
                 t0 = time.perf_counter()
-                if build_n is not None:
-                    # the min/max agg already counted the reduced build
-                    # exactly — size the filter right the first time,
-                    # eliminating the rebuild-on-underestimate pass
-                    # (bloom.py, ref physical_create_bf.cpp:385-406)
-                    # without any extra job
-                    est = build_n
-                elif op.build in reduced:
-                    # footer estimates describe the UNreduced table; a
-                    # decayed guess can undershoot and trigger the
-                    # rebuild pass. One count materializes the persisted
-                    # reduced build (which the bloom agg then reads from
-                    # cache) and sizes exactly.
-                    est = (st.build_rows if st.build_rows >= 0
-                           else build.count())
-                bloom = build_bloom(build, list(op.build_cols),
-                                    est if est != float("inf") else 1e6)
-                st.build_ms = (time.perf_counter() - t0) * 1e3
-                dfs[op.probe] = probe_bloom(probe, list(op.probe_cols), bloom)
-                reduced.add(op.probe)
-                epochs[op.probe] = epochs.get(op.probe, 0) + 1
-                if op.probe in rows_est:
-                    rows_est[op.probe] *= REDUCTION_DECAY
-                if cfg.profiling:
-                    t0 = time.perf_counter()
-                    st.rows_out = dfs[op.probe].count()
-                    st.probe_ms = (time.perf_counter() - t0) * 1e3
-                res.stats.append(st)
-                continue
+                st.rows_out = dfs[op.probe].count()
+                st.probe_ms = (time.perf_counter() - t0) * 1e3
+            res.stats.append(st)
+            continue
+
+        if not empty and cfg.filter_type in ("all", "bf_only"):
             ck = (op.build, op.build_cols, epochs.get(op.build, 0))
             cached = keys_cache.get(ck)
             if cached is None:

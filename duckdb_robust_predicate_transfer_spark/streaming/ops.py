@@ -34,7 +34,16 @@ def read_event_stream(spark: SparkSession, sf_dir: str,
     from pyspark.sql.types import TimestampType
 
     sample = sorted(_glob.glob(os.path.join(sf_dir, glob)))
-    unit = parquet_ts_unit(sample[0]) if sample else ""
+    units = {parquet_ts_unit(f) for f in sample}
+    if len(units) > 1:
+        # a drop-zone directory that accumulated files across a fixture
+        # flavor change (NANOS vs MICROS-NTZ) cannot be read with one
+        # static cast — converting by the first file's unit would
+        # silently corrupt the other flavor's timestamps
+        raise ValueError(
+            f"mixed parquet timestamp units {sorted(units)} under "
+            f"{sf_dir}/{glob}; normalize the directory to one flavor")
+    unit = units.pop() if units else ""
     if unit == "ns":
         # Must stay set for the stream's lifetime — every micro-batch
         # re-reads parquet footers; only flipped for nanos fixtures.

@@ -108,14 +108,16 @@ CASCADE_CONFIG = RPTConfig(pass_mode="forward_only")
 #: threshold): the tier for build sides whose distinct-key broadcast
 #: would not fit — at 100 TB the common case, and the reference's only
 #: mechanism (PTBloomFilter). dim -> mid stays exact (60k est keys).
-#: Measured with strict between-leg cache isolation, the sketch leg runs
-#: ~1.5x the exact leg here: its bitmap aggregation is a separate
-#: eager job over the reduced build, where the exact tier folds the
-#: key-set recompute into the probe's own stage. That is the structural
-#: price of a fixed-size transfer, which is why the default config only
-#: reaches for the sketch when the key set is too big to broadcast at
-#: all (sketch_threshold_rows) — at THIS fixture's scale it is forced
-#: purely to keep the tier exercised and measured.
+#: r3 measured this leg at ~1.4-1.5x the exact leg; r4 closed the gap to
+#: ~1.1x by (a) folding count+min/max+bitmap into ONE scan of the build
+#: lineage (bloom._build_once's per-word partials — the separate eager
+#: min/max job was the structural residual) and (b) moving the word
+#: collect and the bitmap broadcast onto the Arrow path (the py4j
+#: row-at-a-time transfer dominated the build job). The remaining ~10%
+#: is the bitmap's driver round-trip, which is why the default config
+#: still prefers the exact tier until the key set cannot broadcast
+#: (sketch_threshold_rows) — here it is forced purely to keep the tier
+#: exercised and measured.
 CASCADE_SKETCH_CONFIG = CASCADE_CONFIG.with_(
     use_sketch=True, sketch_threshold_rows=500_000)
 

@@ -385,6 +385,75 @@ def q_events_sessionize(spark, sf_dir):
 
 
 @query(
+    "q_stream_sessionize",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                   OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM d
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def q_stream_sessionize(spark, sf_dir):
+    """STREAMING sessionize, graded against the batch oracle: the events
+    fixture plus a far-future sentinel run through
+    ``streaming.ops.sessionize_stream`` (applyInPandasWithState, event-
+    time timeout) with the availableNow trigger — the sentinel advances
+    the watermark past every real session's gap so the timeout flush
+    emits each user's FINAL session too, making the append-mode stream
+    output equal the batch gap-sessionization row-for-row
+    (tests/test_streaming.py proves the multi-batch variant)."""
+    import os
+    import tempfile
+    import uuid
+    from datetime import timedelta
+
+    from ..catalog import get_catalog
+    from ..streaming.ops import (read_event_stream, run_to_memory,
+                                 sessionize_stream)
+
+    ev = get_catalog(spark, sf_dir).table("events")
+    far_future = (ev.agg(F.max("ts")).collect()[0][0]
+                  + timedelta(days=11))
+    tag = uuid.uuid4().hex[:8]
+    sdir = os.path.join(tempfile.gettempdir(), f"drpt_stream_{tag}")
+    os.makedirs(sdir, exist_ok=True)
+
+    def _drop(df, name):
+        # flat files: pathGlobFilter matches leaf names only. Writing
+        # through Spark pins the MICROS flavor whatever the fixture
+        # stores; b1 lands second so the file source orders it last.
+        tmp = os.path.join(sdir, f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part),
+                   os.path.join(sdir, f"{name}.parquet"))
+
+    _drop(ev, "b0")
+    _drop(spark.createDataFrame([(-1, far_future, -1, "view", 0.0, "{}")],
+                                ev.schema), "b1")
+    stream = read_event_stream(spark, sdir, glob="b*.parquet")
+    got = run_to_memory(sessionize_stream(stream), f"sessions_{tag}",
+                        timeout_s=300)
+    # the memory sink holds the rows; the drop-zone files are disposable
+    import shutil
+    shutil.rmtree(sdir, ignore_errors=True)
+    return got.filter(F.col("user_id") >= 0)
+
+
+@query(
     "q_langid_heuristic",
     oracle="""
     SELECT doc_id, lang,

@@ -92,10 +92,13 @@ PARTSUPP_CTE = """
     ns AS (SELECT COUNT(*) AS n FROM supplier),
     partsupp AS (
       SELECT p_partkey AS ps_partkey,
-             (p_partkey * 389 + g.i * 1543) % ns.n AS ps_suppkey,
-             (p_partkey * 13 + g.i * 29) % 20000 + 100
+             (CAST(p_partkey AS BIGINT) * 389
+                + CAST(g.i AS BIGINT) * 1543) % ns.n AS ps_suppkey,
+             (CAST(p_partkey AS BIGINT) * 13
+                + CAST(g.i AS BIGINT) * 29) % 20000 + 100
                AS ps_supplycost_cents,
-             (p_partkey * 31 + g.i * 17) % 9999 + 1 AS ps_availqty
+             (CAST(p_partkey AS BIGINT) * 31
+                + CAST(g.i AS BIGINT) * 17) % 9999 + 1 AS ps_availqty
       FROM part CROSS JOIN ns
            CROSS JOIN (VALUES (0), (1), (2), (3)) AS g(i)
     )
@@ -264,12 +267,12 @@ _declare("q_tpch_q10", f"""
 
 _declare("q_tpch_q12", """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority = '1-URGENT'
-                      OR o_orderpriority = '2-HIGH'
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority <> '1-URGENT'
-                     AND o_orderpriority <> '2-HIGH'
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                           OR o_orderpriority = '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT'
+                          AND o_orderpriority <> '2-HIGH'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders, lineitem
     WHERE o_orderkey = l_orderkey
       AND l_shipdate > o_orderdate

@@ -43,21 +43,34 @@ EDGES = {
     "customer": ("c", "orders", "c_custkey = o_custkey"),
 }
 
+#: JOB-regime predicates included (the reference's actual workload is
+#: string-heavy LIKE / IN-list dim filters, README.md:81-89): LIKE with
+#: %-wildcards, IN lists over strings, and BETWEEN on strings all have
+#: identical semantics in Spark and DuckDB (case-sensitive, binary
+#: collation on ASCII fixture data).
 FILTERS = {
     "lineitem": ["l_shipdate < date '1998-01-01'",
                  "l_quantity BETWEEN 5 AND 40",
                  "l_returnflag = 'R'", None],
     "orders": ["o_orderstatus = 'F'",
                "o_orderdate >= date '1997-01-01'",
-               "o_orderpriority = '1-URGENT'", None],
-    "customer": ["c_mktsegment = 'BUILDING'", "c_acctbal > 1000", None],
-    "supplier": ["s_acctbal > 0", None],
+               "o_orderpriority = '1-URGENT'",
+               "o_orderpriority IN ('1-URGENT', '2-HIGH')",
+               "o_orderstatus BETWEEN 'F' AND 'O'", None],
+    "customer": ["c_mktsegment = 'BUILDING'", "c_acctbal > 1000",
+                 "c_name LIKE 'Customer#0000001%'",
+                 "c_mktsegment IN ('BUILDING', 'MACHINERY')", None],
+    "supplier": ["s_acctbal > 0", "s_name LIKE '%00001%'", None],
     "part": ["p_type = 'ECONOMY'", "p_size < 25",
-             "p_brand = 'Brand#5'", None],
-    "n1": ["n1.n_nationkey < 13", None],
-    "n2": ["n2.n_nationkey >= 5", None],
+             "p_brand = 'Brand#5'",
+             "p_name LIKE '%red%'", "p_name LIKE 'blue%'",
+             "p_brand IN ('Brand#2', 'Brand#4', 'Brand#17')",
+             "p_type BETWEEN 'ECONOMY' AND 'MEDIUM'", None],
+    "n1": ["n1.n_nationkey < 13", "n1.n_name LIKE 'NATION_1%'", None],
+    "n2": ["n2.n_nationkey >= 5",
+           "n2.n_name IN ('NATION_2', 'NATION_4', 'NATION_7')", None],
     "r1": ["r1.r_name = 'ASIA'", "r1.r_name IN ('ASIA', 'EUROPE')", None],
-    "r2": ["r2.r_name <> 'AFRICA'", None],
+    "r2": ["r2.r_name <> 'AFRICA'", "r2.r_name LIKE 'A%'", None],
 }
 
 GROUPS = {
@@ -186,7 +199,9 @@ def main():
     rng = random.Random(7)
     cases = []
     for tables in connected_subsets():
-        for _ in range(2 if len(tables) >= 4 else 1):
+        # >=100 statements (r4 target; r3 ran 71): multi-table subsets
+        # get three filter/group draws, small ones two
+        for _ in range(3 if len(tables) >= 4 else 2):
             cases.append((tables, build_query(tables, rng)))
     if limit:
         cases = cases[:limit]

@@ -2,9 +2,16 @@
 
 Runs every declared query through Spark AND its oracle SQL through
 DuckDB on the same parquet tables, then compares: row count, sorted
-column names, and an order-insensitive multiset of normalized row
-values. Stricter than any reasonable hash, so passing here should
-imply passing the driver's CORRECTNESS check.
+column names, an order-insensitive multiset of normalized row values,
+AND the declared column types of both engines.
+
+The type check exists because Python-value comparison alone is blind
+to the driver's hash normalization: DuckDB types a bare
+``SUM(integer)`` / ``SUM(CASE ...)`` as HUGEINT while Spark returns
+BIGINT, the Python ints compare equal here, yet the driver's
+value-hash distinguishes them (bit us in r2 ``q_corpus_curation`` and
+r3 ``q_tpch_q12``). Any canonical-type mismatch is therefore a FAIL
+unless it is on the explicit benign allowlist below.
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -41,6 +48,52 @@ def normalize(v):
     return v
 
 
+#: (spark, duckdb) canonical-type pairs that the driver's hash is known
+#: to treat as equal. Timestamps: the fixtures are wall-clock instants;
+#: both engines normalize to naive datetimes before hashing. Integer
+#: WIDTH differences are benign — empirically proven by the driver
+#: (q_window_rank, q_topk, q_tpch_q7/8/9, q_text_stats all have green
+#: driver rows with spark=int vs duckdb=bigint) — but HUGEINT is NOT:
+#: it is what the uncast-SUM bug class surfaces as, and the driver's
+#: hash distinguishes it (q_corpus_curation r2, q_tpch_q12 r3).
+_INTS = {"tinyint", "smallint", "int", "bigint"}
+_BENIGN = {
+    ("timestamp_ntz", "timestamp"),
+    ("timestamp", "timestamp"),
+    ("timestamp", "timestamp with time zone"),
+} | {(a, b) for a in _INTS for b in _INTS if a != b}
+
+
+def _canon_spark(dt: str) -> str:
+    return dt.lower().replace(" ", "")
+
+
+def _canon_duck(t) -> str:
+    s = str(t).lower()
+    # DECIMAL(p,s) / LIST types keep their structure; scalar names map 1:1
+    return {
+        "integer": "int", "varchar": "string", "blob": "binary",
+    }.get(s, s.replace(" ", "") if s.startswith("decimal") else s)
+
+
+def type_problems(sdf, res):
+    """Compare Spark schema vs DuckDB result types column-by-name."""
+    stypes = {f.name: _canon_spark(f.dataType.simpleString())
+              for f in sdf.schema.fields}
+    otypes = dict(zip(res.columns, (_canon_duck(t) for t in res.types)))
+    out = []
+    for col in sorted(set(stypes) & set(otypes)):
+        st, ot = stypes[col], otypes[col]
+        if st == ot or (st, ot) in _BENIGN:
+            continue
+        if st.startswith("array") and ot.startswith(("list", "array")):
+            continue
+        out.append(f"type[{col}]: spark={st} oracle={ot}"
+                   + (" (HUGEINT: cast the oracle aggregate!)"
+                      if ot == "hugeint" else ""))
+    return out
+
+
 def multiset(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     return Counter(tuple(normalize(r[i]) for i in order) for r in rows)
@@ -56,12 +109,14 @@ def run_check(spark, con, name, fn, sql, sf_dir, verbose=False):
     t0 = time.time()
     res = con.sql(sql)
     ocols = res.columns
+    otypes_probs = type_problems(sdf, res)
     orows = res.fetchall()
     t_duck = time.time() - t0
 
     problems = []
     if sorted(scols) != sorted(ocols):
         problems.append(f"columns: spark={sorted(scols)} oracle={sorted(ocols)}")
+    problems.extend(otypes_probs)
     if len(srows) != len(orows):
         problems.append(f"rowcount: spark={len(srows)} oracle={len(orows)}")
     if not problems:
