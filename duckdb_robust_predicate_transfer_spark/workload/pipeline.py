@@ -621,6 +621,95 @@ def q_minhash_lsh_pairs(spark, sf_dir):
             .distinct())
 
 
+#: portable SimHash plumbing (q_simhash_pairs): one bit per md5 hex
+#: digit — digit parity ('1','3',...,'f' => +1 vote else -1) — gives a
+#: 32-bit fingerprint both engines compute bit-identically from string
+#: ops alone (no 64-bit integer hashing needed). Generated once at
+#: import; the Spark side mirrors it with F.sum(F.when(...)).
+_SH_ODD = "('1','3','5','7','9','b','d','f')"
+_SH_BITS = 32
+_SH_SIG_SQL = ",\n             ".join(
+    f"CASE WHEN SUM(CASE WHEN substr(md5(t), {d}, 1) IN {_SH_ODD} "
+    f"THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS b{d}"
+    for d in range(1, _SH_BITS + 1))
+_SH_FP_SQL = " || ".join(f"b{d}" for d in range(1, _SH_BITS + 1))
+
+
+@query(
+    "q_simhash_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, u.t
+      FROM documents, UNNEST(STRING_SPLIT(text, ' ')) AS u(t)
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_SH_SIG_SQL}
+      FROM tok GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, {_SH_FP_SQL} AS fp FROM sig),
+    bands AS (
+      SELECT doc_id, b, substr(fp, b * 8 + 1, 8) AS chunk, fp
+      FROM fp, UNNEST(GENERATE_SERIES(0, 3)) AS g(b)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, {_SH_BITS}),
+                i -> substr(a.fp, CAST(i AS INT), 1)
+                     <> substr(b.fp, CAST(i AS INT), 1))) AS BIGINT)
+             AS hamming
+    FROM bands a
+    JOIN bands b ON a.b = b.b AND a.chunk = b.chunk
+                AND a.doc_id < b.doc_id
+    WHERE LEN(LIST_FILTER(GENERATE_SERIES(1, {_SH_BITS}),
+              i -> substr(a.fp, CAST(i AS INT), 1)
+                   <> substr(b.fp, CAST(i AS INT), 1))) <= 2
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs with ENGINE-PORTABLE hashing (the
+    q_dedup_simhash operator stays on xxhash64 — rows-only): one vote
+    bit per md5 hex digit's parity -> 32-bit fingerprint as a '0'/'1'
+    string, 4 banded 8-bit chunks for candidate generation (Hamming<=2
+    within a 32-bit simhash implies equality on >=1 of 4 chunks only
+    probabilistically — the banding here is the standard recall/cost
+    trade, same shape as operators/dedup.py:92-139), exact Hamming
+    re-check on candidates. Bit-identical in Spark and DuckDB: string
+    md5 + substr + integer votes, no engine hash."""
+    e = eng(spark, sf_dir)
+    tok = (e.table("documents")
+           .select("doc_id",
+                   F.explode(F.split("text", " ", -1)).alias("t"))
+           .distinct())
+    odd = set("13579bdf")
+    sig = tok.groupBy("doc_id").agg(*[
+        F.when(F.sum(
+            F.when(F.substring(F.md5("t"), d, 1).isin(*odd), 1)
+            .otherwise(-1)) > 0, "1").otherwise("0").alias(f"b{d}")
+        for d in range(1, _SH_BITS + 1)])
+    fp = sig.select(
+        "doc_id",
+        F.concat(*[F.col(f"b{d}")
+                   for d in range(1, _SH_BITS + 1)]).alias("fp"))
+    bands = (fp.select(
+        "doc_id", "fp",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"))
+        .withColumn("chunk",
+                    F.expr("substr(fp, b * 8 + 1, 8)")))
+    a, bb = bands.alias("a"), bands.alias("b")
+    ham = F.expr(
+        f"size(filter(sequence(1, {_SH_BITS}), "
+        "i -> substr(a.fp, i, 1) <> substr(b.fp, i, 1)))")
+    return (a.join(bb, (F.col("a.b") == F.col("b.b"))
+                   & (F.col("a.chunk") == F.col("b.chunk"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .withColumn("hamming", ham.cast("bigint"))
+            .filter(F.col("hamming") <= 2)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"), "hamming")
+            .distinct())
+
+
 @query("q_dedup_simhash")  # rows-only
 def q_dedup_simhash(spark, sf_dir):
     """SimHash near-dup candidates (64-bit signatures, banded chunks)."""
@@ -629,6 +718,102 @@ def q_dedup_simhash(spark, sf_dir):
     e = eng(spark, sf_dir)
     return simhash_pairs(e.table("documents"), "doc_id", "text",
                          max_hamming=12)
+
+
+def _hyperplanes(n_planes: int = 16, dim: int = 64) -> list:
+    """Deterministic pseudo-random +-1 hyperplanes from md5 parity —
+    computed in PYTHON (hashlib) at import and embedded as literals in
+    BOTH engines' query texts, so the LSH signatures are bit-identical
+    by construction (no engine hash involved at all)."""
+    import hashlib
+
+    return [[1.0 if int(hashlib.md5(f"{p}|{i}".encode())
+                        .hexdigest()[0], 16) % 2 else -1.0
+             for i in range(dim)]
+            for p in range(n_planes)]
+
+
+_EL_PLANES = _hyperplanes()
+_EL_SIG_SQL = ",\n             ".join(
+    "CASE WHEN list_dot_product(v, ["
+    + ", ".join(str(w) for w in plane)
+    + f"]) > 0 THEN '1' ELSE '0' END AS p{p}"
+    for p, plane in enumerate(_EL_PLANES))
+_EL_FP_SQL = " || ".join(f"p{p}" for p in range(len(_EL_PLANES)))
+_EL_COS = ("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+           " * sqrt(list_dot_product(b.v, b.v)))")
+
+
+@query(
+    "q_embed_neardup_lsh_portable",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sig AS (
+      SELECT vec_id, v,
+             {_EL_SIG_SQL}
+      FROM e
+    ),
+    fp AS (SELECT vec_id, v, {_EL_FP_SQL} AS fp FROM sig),
+    bands AS (
+      SELECT vec_id, v, b, substr(fp, b * 4 + 1, 4) AS chunk
+      FROM fp, UNNEST(GENERATE_SERIES(0, 3)) AS g(b)
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_EL_COS}, 6) AS cos_sim
+    FROM bands a
+    JOIN bands b ON a.b = b.b AND a.chunk = b.chunk
+                AND a.vec_id < b.vec_id
+    WHERE {_EL_COS} >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def q_embed_neardup_lsh_portable(spark, sf_dir):
+    """Embedding near-dup via hyperplane LSH with ENGINE-PORTABLE
+    signatures: +-1 hyperplanes derived from md5 parity in Python and
+    embedded as literals in both plans, sign-of-dot-product bits, 4
+    banded 4-bit chunks for candidate generation, exact cosine >= 0.4
+    re-check on candidates only (never all-pairs — the scale shape of
+    operators/similarity.py:55-151's LSH ANN, here made oracle-
+    checkable end-to-end)."""
+    e = eng(spark, sf_dir)
+    emb = e.table("embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"))
+
+    def dot_lit(plane):
+        lits = ", ".join(f"{w}D" for w in plane)
+        return (f"aggregate(zip_with(v, array({lits}),"
+                " (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+    sig = emb.select(
+        "vec_id", "v",
+        *[F.when(F.expr(dot_lit(plane)) > 0, "1").otherwise("0")
+          .alias(f"p{p}") for p, plane in enumerate(_EL_PLANES)])
+    fp = sig.select(
+        "vec_id", "v",
+        F.concat(*[F.col(f"p{p}")
+                   for p in range(len(_EL_PLANES))]).alias("fp"))
+    bands = (fp.select(
+        "vec_id", "v", "fp",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"))
+        .withColumn("chunk", F.expr("substr(fp, b * 4 + 1, 4)"))
+        .drop("fp"))
+    from ..operators.similarity import cosine_sim
+
+    a, bb = (bands.select(F.col("vec_id").alias("id_a"),
+                          F.col("v").alias("va"), "b", "chunk"),
+             bands.select(F.col("vec_id").alias("id_b"),
+                          F.col("v").alias("vb"), F.col("b").alias("b2"),
+                          F.col("chunk").alias("chunk2")))
+    return (a.join(bb, (F.col("b") == F.col("b2"))
+                   & (F.col("chunk") == F.col("chunk2"))
+                   & (F.col("id_a") < F.col("id_b")))
+            .withColumn("cs", cosine_sim("va", "vb"))
+            .filter(F.col("cs") >= 0.4)
+            .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
+            .distinct())
 
 
 @query(
