@@ -16,8 +16,14 @@ This tool certifies that composition on the 30M-row cascade fixture:
   below the aggregation, with the transfer ON and OFF;
 - times both legs with strict cache isolation and checks rpt == off.
 
-Run: python -u tools/bucketed_cascade.py   (emits one JSON line;
-artifact committed as BUCKETED_r{N}.json)
+Run: python -u tools/bucketed_cascade.py [--big]   (emits one JSON
+line; artifact committed as BUCKETED_r{N}.json)
+
+``--big`` runs against the 100M-row fixture (tools/cascade_big.py
+sizing): r3 measured the three legs within noise of each other at 30M
+(hinted 1.10 s vs rpt 1.02 s vs off 1.06 s — scan+agg dominates and
+min-of-3 jitter exceeds the leg deltas); the 100M variant exists to
+make the ordering readable.
 """
 
 from __future__ import annotations
@@ -31,6 +37,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_BUCKETS = 16
+
+if "--big" in sys.argv:
+    # pin BEFORE the cascade module import (it reads env at import)
+    os.environ["DRPT_CASCADE_DIR"] = os.environ.get(
+        "DRPT_CASCADE_BIG_DIR", "/tmp/drpt_cascade_big")
+    os.environ["DRPT_CASCADE_FACT_ROWS"] = os.environ.get(
+        "DRPT_CASCADE_BIG_FACT_ROWS", "100000000")
+    os.environ["DRPT_CASCADE_MID_ROWS"] = os.environ.get(
+        "DRPT_CASCADE_BIG_MID_ROWS", "10000000")
+    os.environ["DRPT_CASCADE_DIM_ROWS"] = os.environ.get(
+        "DRPT_CASCADE_BIG_DIM_ROWS", "1000000")
+    os.environ.setdefault("DRPT_DRIVER_MEM", "16g")
 
 
 def main() -> int:
@@ -50,7 +68,8 @@ def main() -> int:
     warehouse = spark.conf.get("spark.sql.warehouse.dir",
                                "/tmp/drpt-warehouse").replace("file:", "")
     for name, key in (("fact", "f_mk"), ("mid", "m_mk")):
-        tbl = f"drpt_bucketed_{name}"
+        # size-tagged so small/big fixtures never share a location
+        tbl = f"drpt_bucketed_{name}_{cascade.FACT_ROWS // 1_000_000}m"
         if not spark.catalog.tableExists(tbl):
             # the metastore is per-session (in-memory derby); a prior
             # run's orphaned location must be cleared before re-saving
@@ -61,8 +80,9 @@ def main() -> int:
             (spark.read.parquet(os.path.join(fdir, f"{name}.parquet"))
              .write.bucketBy(N_BUCKETS, key).sortBy(key)
              .mode("overwrite").saveAsTable(tbl))
-    bfact = spark.table("drpt_bucketed_fact")
-    bmid = spark.table("drpt_bucketed_mid")
+    tag = f"{cascade.FACT_ROWS // 1_000_000}m"
+    bfact = spark.table(f"drpt_bucketed_fact_{tag}")
+    bmid = spark.table(f"drpt_bucketed_mid_{tag}")
 
     # fact|><|mid exceeds broadcast reach either way (mid is ~200 MB
     # wide, ~30 MB even reduced), so bucketing is what removes ITS
