@@ -453,6 +453,136 @@ def q_stream_sessionize(spark, sf_dir):
     return got.filter(F.col("user_id") >= 0)
 
 
+def _stream_drop_zone(dfs: dict) -> tuple:
+    """Write each DataFrame (name -> df) as ONE flat parquet file into a
+    fresh temp drop-zone directory, in dict order. Spark-written files
+    pin the MICROS timestamp flavor whatever the source fixture stores,
+    and flat leaf names keep ``pathGlobFilter`` matching simple. Returns
+    (dir, tag); the caller removes the dir once the memory sink holds
+    the rows."""
+    import os
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    sdir = os.path.join(tempfile.gettempdir(), f"drpt_stream_{tag}")
+    os.makedirs(sdir, exist_ok=True)
+    for name, df in dfs.items():
+        tmp = os.path.join(sdir, f"_tmp_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        os.replace(os.path.join(tmp, part),
+                   os.path.join(sdir, f"{name}.parquet"))
+    return sdir, tag
+
+
+@query(
+    "q_stream_windowed_counts",
+    oracle="""
+    SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_windowed_counts(spark, sf_dir):
+    """STREAMING tumbling-window aggregate graded against the batch
+    oracle (q_events_tumbling's twin): the events fixture as a single
+    drop-zone file runs through ``streaming.ops.windowed_event_counts``
+    (watermarked 1-hour window agg) under the availableNow trigger in
+    complete mode. One file = one micro-batch, so no row is ever late
+    and stream ≡ batch exactly; the multi-batch late-data path is
+    covered by tests/test_streaming.py. Spark's ``window("1 hour")``
+    buckets are epoch-aligned, same as DATE_TRUNC('hour')."""
+    import shutil
+
+    from ..catalog import get_catalog
+    from ..streaming.ops import (read_event_stream, run_complete_to_memory,
+                                 windowed_event_counts)
+
+    ev = get_catalog(spark, sf_dir).table("events")
+    sdir, tag = _stream_drop_zone({"b0": ev})
+    stream = read_event_stream(spark, sdir, glob="b*.parquet")
+    got = run_complete_to_memory(windowed_event_counts(stream),
+                                 f"wincounts_{tag}", timeout_s=300)
+    shutil.rmtree(sdir, ignore_errors=True)
+    return got
+
+
+@query(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def q_stream_dedup(spark, sf_dir):
+    """STREAMING exact dedup graded against the batch oracle:
+    ``streaming.ops.dedup_stream`` (dropDuplicatesWithinWatermark —
+    state bounded by the watermark window, the only viable contract for
+    an unbounded stream) over the events fixture as one drop-zone file,
+    availableNow, append mode. Which physical row survives per key is
+    engine-dependent, so the declared output is the surviving KEY SET
+    (user_id, event_type) — deterministic in both engines."""
+    import shutil
+
+    from ..catalog import get_catalog
+    from ..streaming.ops import dedup_stream, read_event_stream, run_to_memory
+
+    ev = get_catalog(spark, sf_dir).table("events")
+    sdir, tag = _stream_drop_zone({"b0": ev})
+    stream = read_event_stream(spark, sdir, glob="b*.parquet")
+    deduped = dedup_stream(stream, keys=["user_id", "event_type"])
+    got = run_to_memory(deduped.select("user_id", "event_type"),
+                        f"dedup_{tag}", timeout_s=300)
+    shutil.rmtree(sdir, ignore_errors=True)
+    return got
+
+
+@query(
+    "q_stream_curated_ingest",
+    oracle=r"""
+    SELECT DISTINCT md5(text) AS content_h
+    FROM documents
+    WHERE CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(text, '\s+'),
+              t -> t IN ('the', 'a', 'of', 'to', 'and', 'in', 'is', 'for')))
+              AS DOUBLE)
+          / LEN(STRING_SPLIT_REGEX(text, '\s+')) > 0.08
+      AND LEN(STRING_SPLIT_REGEX(text, '\s+')) BETWEEN 20 AND 1000
+      AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+          / LEN(STRING_SPLIT_REGEX(text, '\s+')) BETWEEN 2.0 AND 12.0
+    """,
+)
+def q_stream_curated_ingest(spark, sf_dir):
+    """STREAMING corpus-curation ingest graded against the batch oracle:
+    ``streaming.ops.curated_doc_stream`` (language-ID + quality gates as
+    stateless JVM expressions, then watermark-bounded exact content
+    dedup) over the documents fixture with a deterministic synthetic
+    ``ingest_ts`` (epoch 2026-01-01 + doc_id seconds), availableNow,
+    append mode. Dedup's surviving row per hash is engine-dependent, so
+    the declared output is the surviving CONTENT-HASH SET — equal to
+    the batch funnel's distinct-kept-hash set by construction. Gates
+    mirror functions/text.py (8-word stopword list, \\s+ tokenizer)."""
+    import shutil
+
+    from ..catalog import get_catalog
+    from ..streaming.ops import curated_doc_stream, run_to_memory
+
+    docs = (get_catalog(spark, sf_dir).table("documents")
+            .withColumn("ingest_ts",
+                        F.timestamp_seconds(F.lit(1767225600)
+                                            + F.col("doc_id"))))
+    sdir, tag = _stream_drop_zone({"b0": docs})
+    schema = docs.schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "b*.parquet")
+              .parquet(sdir))
+    curated = curated_doc_stream(stream, ts_col="ingest_ts")
+    got = run_to_memory(curated.select("content_h"),
+                        f"curated_{tag}", timeout_s=300)
+    shutil.rmtree(sdir, ignore_errors=True)
+    return got
+
+
 @query(
     "q_langid_heuristic",
     oracle="""
