@@ -75,6 +75,17 @@ class RPTConfig:
     #: broadcast the distinct key-set when its estimated rows are below this
     #: (otherwise let AQE decide)
     broadcast_key_rows: int = 2_000_000
+    #: feed the transfer's size knowledge back into the HOST join:
+    #: join_all broadcast-hints any non-anchor relation whose final
+    #: estimated/observed rows are at or below this. Catalyst's static
+    #: estimate cannot see a local filter's selectivity (a filtered 1M-row
+    #: dim still "weighs" its full footer size, so the planner picks a
+    #: sort-merge join that shuffles the ENTIRE upstream join output —
+    #: measured as the whole off-leg gap in BUCKETED_r04); the transfer's
+    #: min/max+bloom jobs measure those relations exactly, which is the
+    #: analogue of the reference's host replanning on reduced cardinality
+    #: estimates (table_manager.cpp:64-69). 0 disables.
+    host_broadcast_rows: int = 1_000_000
     #: min/max scan-pushdown transfer only pays when the probe scan is big:
     #: each min/max is an eager driver-side agg job (fixed ~0.1-0.3 s of
     #: latency) whose payoff is Parquet row-group pruning on the probe

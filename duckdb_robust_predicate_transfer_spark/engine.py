@@ -92,6 +92,12 @@ class Engine:
             get_catalog(spark, sf_dir) if sf_dir else None
         )
         self.last_result: TransferResult | None = None
+        #: alias -> rows as of the last reduce(): local-filter-discounted
+        #: footer estimates, overwritten in place with OBSERVED counts by
+        #: the transfer's min/max+bloom jobs (apply_transfer mutates the
+        #: dict). join_all reads this to broadcast-hint small sides.
+        self.last_rows_est: dict = {}
+        self._host_broadcast_rows: int = self.config.host_broadcast_rows
 
     def table(self, name: str) -> DataFrame:
         return self.catalog.table(name)
@@ -232,6 +238,18 @@ class Engine:
             nodes.append(TableNode(alias=alias, rows=base_rows,
                                    filtered=alias in filtered))
 
+        # live handle: apply_transfer's observed counts flow through to
+        # join_all's broadcast decisions without another stash. Gated on
+        # cfg.enabled — host-size feedback is part of the extension
+        # (cfg.enabled=False must reproduce native Spark exactly, or the
+        # off leg of every benchmark stops being the reference baseline)
+        if cfg.enabled and cfg.host_broadcast_rows > 0:
+            self.last_rows_est = rows_est
+            self._host_broadcast_rows = cfg.host_broadcast_rows
+        else:
+            self.last_rows_est = {}
+            self._host_broadcast_rows = 0
+
         jedges = normalize_edges(edges)
 
         graph = JoinGraph.build(nodes, jedges)
@@ -316,12 +334,29 @@ class Engine:
         An edge whose endpoints are both already joined (a cycle-closing
         edge dropped by the spanning tree) is applied as a post-join
         filter — the transfer tree may drop it, the query must not.
+
+        Size feedback into the host join: any non-anchor relation whose
+        last_rows_est entry (observed by the transfer where it measured,
+        filter-discounted footer estimate otherwise) is at or below
+        ``host_broadcast_rows`` gets an explicit broadcast hint. This is
+        what the static planner cannot do — it weighs a filtered dim at
+        its full footer size, plans a sort-merge join, and shuffles the
+        entire upstream join output (BUCKETED_r04's off-leg cost). Rows
+        <= 0 mean "unknown" and are never hinted.
         """
         from pyspark.sql import functions as F
 
         edges = normalize_edges(edges)
         if not edges:
             raise ValueError("join_all needs at least one edge")
+
+        def side(alias):
+            df = dfs[alias]
+            rows = self.last_rows_est.get(alias, 0.0)
+            if 0.0 < rows <= self._host_broadcast_rows:
+                return F.broadcast(df)
+            return df
+
         joined = dfs[edges[0].left]
         included = {edges[0].left}
         pending = list(edges)
@@ -337,13 +372,13 @@ class Engine:
                     pending.remove(e)
                     progressed = True
                 elif e.left in included:
-                    joined = joined.join(dfs[e.right], cond, e.how)
+                    joined = joined.join(side(e.right), cond, e.how)
                     included.add(e.right)
                     pending.remove(e)
                     progressed = True
                 elif e.right in included:
                     how = {"left": "right", "right": "left"}.get(e.how, e.how)
-                    joined = joined.join(dfs[e.left], cond, how)
+                    joined = joined.join(side(e.left), cond, how)
                     included.add(e.left)
                     pending.remove(e)
                     progressed = True

@@ -274,3 +274,32 @@ def test_bloom_probe_stays_in_codegen(spark, sf_dir):
     plan = physical(probe_bloom(cat.table("lineitem"), ["l_orderkey"], sk))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_host_broadcast_feedback(spark, sf_dir):
+    """The transfer's size knowledge must reach the HOST join: with the
+    static broadcast threshold disabled (the 100-TB regime, where a
+    filtered dim's footer estimate exceeds any threshold), an enabled
+    engine still broadcast-hints the dim in join_all — the off engine
+    must NOT (it is the 'extension not loaded' baseline). This is the
+    BUCKETED_r04 off-leg pathology: an unhinted filtered dim plans a
+    sort-merge join that shuffles the entire upstream join output."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
+
+    rels = {"l": Rel("lineitem"), "o": Rel("orders"),
+            "c": Rel("customer", "c_mktsegment = 'BUILDING'")}
+    edges = [("l", "o", "l_orderkey", "o_orderkey"),
+             ("o", "c", "o_custkey", "c_custkey")]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        on = Engine(spark, sf_dir, RPTConfig())
+        plan_on = physical(on.reduce_and_join(rels, edges))
+        off = Engine(spark, sf_dir, RPTConfig(enabled=False))
+        plan_off = physical(off.reduce_and_join(rels, edges))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan_on
+    assert "BroadcastHashJoin" not in plan_off
+    assert "SortMergeJoin" in plan_off

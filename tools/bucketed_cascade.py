@@ -22,8 +22,17 @@ line; artifact committed as BUCKETED_r{N}.json)
 ``--big`` runs against the 100M-row fixture (tools/cascade_big.py
 sizing): r3 measured the three legs within noise of each other at 30M
 (hinted 1.10 s vs rpt 1.02 s vs off 1.06 s — scan+agg dominates and
-min-of-3 jitter exceeds the leg deltas); the 100M variant exists to
-make the ordering readable.
+min-of-3 jitter exceeds the leg deltas); the 100M variant makes the
+ordering readable, and doing so exposed a real planner gap (r4):
+Catalyst weighs the FILTERED dim at its full footer size, so at 100M
+the dim join plans as a sort-merge that shuffles the entire f|><|m
+output on m_dk — bucketing intact but useless (2 exchanges on every
+leg, hinted slowest at 4.2 s because it also skipped the fact
+reduction). Fixed by Engine.join_all's host_broadcast_rows feedback
+(config.py): the transfer's size knowledge broadcast-hints the dim,
+restoring zero-exchange plans for both transfer legs — BUCKETED_r04
+measures hinted 2.86 s / rpt 2.92 s / off (native, unhinted) 5.36 s,
+i.e. the co-located skip is finally pure savings.
 """
 
 from __future__ import annotations
@@ -71,15 +80,27 @@ def main() -> int:
         # size-tagged so small/big fixtures never share a location
         tbl = f"drpt_bucketed_{name}_{cascade.FACT_ROWS // 1_000_000}m"
         if not spark.catalog.tableExists(tbl):
-            # the metastore is per-session (in-memory derby); a prior
-            # run's orphaned location must be cleared before re-saving
-            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
             loc = os.path.join(warehouse, tbl)
-            if os.path.exists(loc):
-                shutil.rmtree(loc)
-            (spark.read.parquet(os.path.join(fdir, f"{name}.parquet"))
-             .write.bucketBy(N_BUCKETS, key).sortBy(key)
-             .mode("overwrite").saveAsTable(tbl))
+            if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                # the metastore is per-session (in-memory derby) but the
+                # bucketed FILES survive in /tmp; re-register the
+                # metadata over them instead of rewriting 100M rows —
+                # this tool is the only writer of this location, so the
+                # bucket layout is trustworthy
+                cols = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in spark.read.parquet(loc).schema.fields)
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                    f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                    f"INTO {N_BUCKETS} BUCKETS LOCATION '{loc}'")
+            else:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+                if os.path.exists(loc):
+                    shutil.rmtree(loc)
+                (spark.read.parquet(os.path.join(fdir, f"{name}.parquet"))
+                 .write.bucketBy(N_BUCKETS, key).sortBy(key)
+                 .mode("overwrite").saveAsTable(tbl))
     tag = f"{cascade.FACT_ROWS // 1_000_000}m"
     bfact = spark.table(f"drpt_bucketed_fact_{tag}")
     bmid = spark.table(f"drpt_bucketed_mid_{tag}")
@@ -155,7 +176,12 @@ def main() -> int:
         "rpt_hinted_speedup": round(
             best["off"] / max(best["rpt_hinted"], 1e-3), 3),
         "results_match": on_rows == off_rows and hint_rows == off_rows,
-        "zero_join_shuffle": all(v == 0 for v in shuffles.values()),
+        # the transfer legs must be exchange-free; the OFF leg is native
+        # Spark and is EXPECTED to shuffle once the filtered dim's static
+        # estimate exceeds the broadcast threshold (the 100M fixture) —
+        # that gap is precisely what host_broadcast_rows feedback closes
+        "zero_join_shuffle": shuffles["rpt"] == 0
+        and shuffles["rpt_hinted"] == 0,
     }
     print(json.dumps(out), flush=True)
     spark.stop()
