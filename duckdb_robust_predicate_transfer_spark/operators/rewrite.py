@@ -18,6 +18,11 @@ physical_use_bf.cpp):
   the reference's ConstantFilter-into-LogicalGet push.
 - empty build side => always-false filter (physical_create_bf.cpp:
   290-297) -> here: ``probe.where(lit(False))`` short-circuit.
+- the BF-as-table-filter push itself (rpt_optimizer.cpp:1401-1501,
+  the probe SCAN dropping excluded data) has no pure-PySpark hook;
+  the optional jvm/rpt-dsv2.jar closes it with a DSv2 scan whose
+  SupportsRuntimeV2Filtering.filter() drops whole row groups against
+  the runtime IN-set (certified in DSV2_RF_r04.json).
 
 Ordering dependencies (the reference's cross-pipeline scheduling,
 physical_create_bf.cpp:559-613) are free: a key-set is just a
