@@ -36,11 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 JAR = os.path.join(REPO, "jvm", "rpt-dsv2.jar")
-FIX = "/tmp/drpt_dsv2_fix"
-FACT_ROWS = 20_000_000
-KEY_SPACE = 1_000_000
-DIM_ROWS = 200_000
+FIX = os.environ.get("DRPT_DSV2_FIX", "/tmp/drpt_dsv2_fix")
+FACT_ROWS = int(os.environ.get("DRPT_DSV2_FACT_ROWS", 20_000_000))
+KEY_SPACE = max(FACT_ROWS // 20, 1000)
+DIM_ROWS = max(KEY_SPACE // 5, 100)
 N_FILES = 32
+CPUS = os.environ.get("DRPT_DSV2_CPUS", "32")
 
 
 def main() -> int:
@@ -50,7 +51,7 @@ def main() -> int:
 
     from pyspark.sql import SparkSession, functions as F
 
-    spark = (SparkSession.builder.master("local[32]")
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
              .appName("drpt-dsv2-rf")
              .config("spark.driver.memory",
                      os.environ.get("DRPT_DRIVER_MEM", "8g"))
