@@ -241,6 +241,23 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     return corpus.join(best, id_col)
 
 
+def ivf_build(corpus: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding", n_centroids: int = 16,
+              train_iters: int = 0) -> tuple:
+    """One-time IVF index build: (centroids, inverted-file assignment).
+
+    The corpus x K assignment argmax is the expensive part of IVF —
+    K times the flops of a single brute-force query batch — and it is
+    a BUILD cost, paid once per (re)index and amortized over every
+    query batch after. Persist or write the assignment and hand the
+    pair to ``ivf_topk_batch(index=...)``; timing build and query as
+    one leg (the default inline path) understates IVF by design."""
+    cents = (ivf_train_centroids(corpus, id_col, vec_col, n_centroids,
+                                 train_iters) if train_iters > 0
+             else ivf_centroids(corpus, id_col, vec_col, n_centroids))
+    return cents, ivf_assign(corpus, cents, id_col, vec_col)
+
+
 def ivf_topk(corpus: DataFrame, query_vec: list, id_col: str = "vec_id",
              vec_col: str = "embedding", k: int = 10,
              n_centroids: int = 16, nprobe: int = 4) -> DataFrame:
@@ -260,16 +277,24 @@ def ivf_topk_batch(corpus: DataFrame, queries: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    qid_col: str = "qid", qvec_col: str = "qv",
                    k: int = 10, n_centroids: int = 16,
-                   nprobe: int = 4, train_iters: int = 0) -> DataFrame:
+                   nprobe: int = 4, train_iters: int = 0,
+                   index: "tuple | None" = None) -> DataFrame:
     """IVF approximate top-k for a whole query set with NO driver-side
     step (the single-query variant collects its probe list; this one
     ranks centroids per query inside the plan): queries x broadcast
     centroids -> top-nprobe lists per query -> join against the
     inverted-file assignment -> exact rescore, ranked per query. Scan
-    work drops to ~|corpus| * nprobe / n_centroids per query."""
-    cents = (ivf_train_centroids(corpus, id_col, vec_col, n_centroids,
-                                 train_iters) if train_iters > 0
-             else ivf_centroids(corpus, id_col, vec_col, n_centroids))
+    work drops to ~|corpus| * nprobe / n_centroids per query.
+
+    Pass ``index`` (the (centroids, assignment) pair from ivf_build,
+    ideally persisted) to skip the inline build — the index-once /
+    query-many shape a serving path uses."""
+    if index is not None:
+        cents, assigned = index
+    else:
+        cents = (ivf_train_centroids(corpus, id_col, vec_col, n_centroids,
+                                     train_iters) if train_iters > 0
+                 else ivf_centroids(corpus, id_col, vec_col, n_centroids))
     qd = queries.select(F.col(qid_col).alias("__qid"),
                         as_double(qvec_col).alias("qd"))
     wq = Window.partitionBy("__qid").orderBy(
@@ -279,7 +304,8 @@ def ivf_topk_batch(corpus: DataFrame, queries: DataFrame,
              .withColumn("__rn", F.row_number().over(wq))
              .filter(F.col("__rn") <= nprobe)
              .select("__qid", "qd", "centroid_id"))
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    if index is None:
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
     w = Window.partitionBy("__qid").orderBy(F.col("cos_sim").desc(), id_col)
     return (assigned.join(F.broadcast(probe), "centroid_id")
             .withColumn("ed", as_double(vec_col))

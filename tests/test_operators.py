@@ -320,3 +320,21 @@ def test_ivf_trained_centroids_recall(spark, sf_dir):
                               nprobe=4, train_iters=2)).collect()[0] \
         .mean_recall
     assert trained >= base - 0.05, (trained, base)
+
+
+def test_ivf_prebuilt_index_matches_inline(spark, sf_dir):
+    """ivf_build + ivf_topk_batch(index=...) — the index-once /
+    query-many serving shape — must return exactly the inline result
+    (same centroids, same assignment, same probe lists)."""
+    from duckdb_robust_predicate_transfer_spark.operators.similarity import (
+        ivf_build, ivf_topk_batch)
+
+    emb = get_catalog(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    inline = sorted(map(tuple, ivf_topk_batch(
+        emb, queries, k=5, n_centroids=8, nprobe=4).collect()))
+    idx = ivf_build(emb, n_centroids=8)
+    via_index = sorted(map(tuple, ivf_topk_batch(
+        emb, queries, k=5, nprobe=4, index=idx).collect()))
+    assert via_index == inline
