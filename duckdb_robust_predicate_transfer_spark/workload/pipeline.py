@@ -807,14 +807,19 @@ def q_simhash_pairs(spark, sf_dir):
     re-check on candidates. Bit-identical in Spark and DuckDB: string
     md5 + substr + integer votes, no engine hash."""
     e = eng(spark, sf_dir)
+    # md5 hoisted to ONE evaluation per distinct (doc, token): leaving
+    # it inside the 32 vote aggregates re-hashes every token row 32
+    # times (Catalyst does not CSE across aggregate expressions) —
+    # measured as ~5x of this query's sf0.1 runtime
     tok = (e.table("documents")
            .select("doc_id",
                    F.explode(F.split("text", " ", -1)).alias("t"))
-           .distinct())
+           .distinct()
+           .select("doc_id", F.md5("t").alias("h")))
     odd = set("13579bdf")
     sig = tok.groupBy("doc_id").agg(*[
         F.when(F.sum(
-            F.when(F.substring(F.md5("t"), d, 1).isin(*odd), 1)
+            F.when(F.substring("h", d, 1).isin(*odd), 1)
             .otherwise(-1)) > 0, "1").otherwise("0").alias(f"b{d}")
         for d in range(1, _SH_BITS + 1)])
     fp = sig.select(
@@ -827,9 +832,14 @@ def q_simhash_pairs(spark, sf_dir):
         .withColumn("chunk",
                     F.expr("substr(fp, b * 8 + 1, 8)")))
     a, bb = bands.alias("a"), bands.alias("b")
-    ham = F.expr(
-        f"size(filter(sequence(1, {_SH_BITS}), "
-        "i -> substr(a.fp, i, 1) <> substr(b.fp, i, 1)))")
+    # bit_count over the XOR of the fingerprints-as-integers, NOT a
+    # per-position higher-order lambda: the candidate join yields ~6M
+    # pairs at sf0.1 and filter(sequence(...), i -> substr(...)) runs
+    # interpreted per element (~130s); conv+xor+bit_count stays in
+    # codegen (~10s). Semantics identical to the oracle's positional
+    # count: both count differing bits of the same '0'/'1' string.
+    ham = F.expr(f"bit_count(cast(conv(a.fp, 2, 10) as bigint)"
+                 f" ^ cast(conv(b.fp, 2, 10) as bigint))")
     return (a.join(bb, (F.col("a.b") == F.col("b.b"))
                    & (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
