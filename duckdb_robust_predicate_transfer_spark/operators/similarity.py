@@ -57,13 +57,29 @@ def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
                          n_planes: int = 16, seed: int = 7) -> DataFrame:
     """(id, sig: bigint) — sign bits of `n_planes` pseudo-random
     hyperplane projections. Plane p's d-th component is derived from
-    xxhash64(d, p, seed) mapped to [-0.5, 0.5): deterministic,
-    stateless, identical on every executor — no model broadcast."""
+    xxhash64(d, p, seed) mapped to [-0.5, 0.5): deterministic and
+    identical on every executor.
+
+    The plane matrix is materialized ONCE (a 1-row driver-side eval of
+    the same hash formula) and embedded as literals: leaving the hash
+    inside the per-row projection re-evaluates xxhash64 n_planes x dim
+    times per row — ~1e9 hash calls on a 1M x 64 corpus, measured as
+    the dominant cost of the whole LSH index build."""
+    spark = df.sparkSession
+    head = df.select(F.size(vec_col)).first()
+    dim = head[0] if head and head[0] else 1  # empty corpus: any plane
     comp = (f"(cast(pmod(xxhash64(d, p, {seed}), 100000) as double)"
             f" / 100000.0 - 0.5)")
-    proj = (f"transform(sequence(0, {n_planes - 1}), p -> "
-            f" aggregate(zip_with(ed, sequence(0, size(ed) - 1),"
-            f"   (x, d) -> x * {comp}), 0D, (s, v) -> s + v))")
+    mat = spark.range(1).select(F.expr(
+        f"transform(sequence(0, {n_planes - 1}), p ->"
+        f" transform(sequence(0, {dim - 1}), d -> {comp}))")
+        .alias("m")).first()[0]
+    planes_lit = ", ".join(
+        "array(" + ", ".join(f"{float(w)!r}D" for w in plane) + ")"
+        for plane in mat)
+    proj = (f"transform(array({planes_lit}), pl -> "
+            f" aggregate(zip_with(ed, pl, (x, y) -> x * y),"
+            f" 0D, (s, v) -> s + v))")
     sig = (f"aggregate(zip_with({proj}, sequence(0, {n_planes - 1}),"
            f" (v, p) -> IF(v > 0D, shiftleft(1L, p), 0L)),"
            f" 0L, (acc, x) -> acc | x)")
@@ -102,13 +118,22 @@ def brute_force_topk_batch(corpus: DataFrame, queries: DataFrame,
     per-query driver loop — is how a batch of Q lookups runs against a
     100 TB corpus: one pass, Q× the flops, same shuffle shape.
 
-    Returns (qid, id, cos_sim, rank) with rank in [1, k]."""
+    Returns (qid, id, cos_sim, rank) with rank in [1, k].
+
+    Norms are folded ONCE per corpus row / per query, not per (row x
+    query) pair: higher-order folds run interpreted, so the naive
+    three-folds-per-pair cosine costs ~3x on the Q-way cross product."""
     q = F.broadcast(queries.select(F.col(qid_col).alias("__qid"),
-                                   as_double(qvec_col).alias("qd")))
+                                   as_double(qvec_col).alias("qd"))
+                    .withColumn("__qn",
+                                F.expr(f"sqrt({_dot('qd', 'qd')})")))
     w = Window.partitionBy("__qid").orderBy(F.col("cos_sim").desc(), id_col)
     return (corpus.withColumn("ed", as_double(vec_col))
+            .withColumn("__en", F.expr(f"sqrt({_dot('ed', 'ed')})"))
             .crossJoin(q)
-            .withColumn("cos_sim", F.round(cosine_sim("ed", "qd"), 6))
+            .withColumn("cos_sim",
+                        F.round(F.expr(_dot("ed", "qd"))
+                                / (F.col("__en") * F.col("__qn")), 6))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(F.col("__qid").alias(qid_col), id_col,
@@ -129,22 +154,32 @@ def lsh_topk_batch(corpus: DataFrame, queries: DataFrame,
     mask = (1 << r) - 1
     band_expr = (f"transform(sequence(0, {n_bands - 1}),"
                  f" b -> shiftright(sig, b * {r}) & {mask}L)")
-    bands = sigs.select(
-        id_col, vec_col,
-        F.posexplode(F.expr(band_expr)).alias("band_id", "band_val"))
+    # norm folded once per corpus row (pre-explode) and per query: the
+    # candidate rescore then costs ONE interpreted fold per candidate
+    # instead of three
+    en = f"sqrt({_dot(f'transform({vec_col}, x -> cast(x as double))', f'transform({vec_col}, x -> cast(x as double))')})"
+    bands = (sigs.withColumn("__en", F.expr(en))
+             .select(id_col, vec_col, "__en",
+                     F.posexplode(F.expr(band_expr))
+                     .alias("band_id", "band_val")))
     qs = queries.select(
         F.col(qid_col).alias("__qid"),
         F.expr(f"transform({qvec_col}, x -> cast(x as float))")
         .alias(vec_col))
-    qbands = hyperplane_signature(qs, "__qid", vec_col, n_planes, seed) \
-        .select("__qid", F.col(vec_col).alias("__qv"),
-                F.posexplode(F.expr(band_expr)).alias("band_id", "band_val"))
+    qbands = (hyperplane_signature(qs, "__qid", vec_col, n_planes, seed)
+              .withColumn("__qn", F.expr(en))
+              .select("__qid", F.col(vec_col).alias("__qv"), "__qn",
+                      F.posexplode(F.expr(band_expr))
+                      .alias("band_id", "band_val")))
     cand = (bands.join(F.broadcast(qbands), ["band_id", "band_val"])
-            .select("__qid", id_col, vec_col, "__qv").distinct())
+            .select("__qid", id_col, vec_col, "__en", "__qv", "__qn")
+            .distinct())
     w = Window.partitionBy("__qid").orderBy(F.col("cos_sim").desc(), id_col)
     return (cand.withColumn("ed", as_double(vec_col))
             .withColumn("qd", as_double("__qv"))
-            .withColumn("cos_sim", F.round(cosine_sim("ed", "qd"), 6))
+            .withColumn("cos_sim",
+                        F.round(F.expr(_dot("ed", "qd"))
+                                / (F.col("__en") * F.col("__qn")), 6))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(F.col("__qid").alias(qid_col), id_col,
@@ -231,9 +266,16 @@ def ivf_assign(corpus: DataFrame, centroids: DataFrame,
     One broadcast of K centroids; the argmax folds JVM-side in a
     single groupBy over (vector x centroid) candidates, which is the
     index-build shuffle a cluster runs once and reuses."""
+    # norms folded once per corpus row and once per centroid — not per
+    # (row x centroid) pair: the assignment argmax is K x one brute
+    # batch's flops and the three-fold cosine tripled the index build
     scored = (corpus.withColumn("ed", as_double(vec_col))
-              .crossJoin(F.broadcast(centroids))
-              .withColumn("sim", cosine_sim("ed", "cd")))
+              .withColumn("__en", F.expr(f"sqrt({_dot('ed', 'ed')})"))
+              .crossJoin(F.broadcast(
+                  centroids.withColumn(
+                      "__cn", F.expr(f"sqrt({_dot('cd', 'cd')})"))))
+              .withColumn("sim", F.expr(_dot("ed", "cd"))
+                          / (F.col("__en") * F.col("__cn"))))
     best = (scored.groupBy(id_col)
             .agg(F.max(F.struct(F.col("sim"), F.col("centroid_id")))
                  .alias("b"))

@@ -935,22 +935,32 @@ def q_embed_neardup_lsh_portable(spark, sf_dir):
         "vec_id", "v",
         F.concat(*[F.col(f"p{p}")
                    for p in range(len(_EL_PLANES))]).alias("fp"))
+    # the vector norm is computed ONCE per vector before the band
+    # explode/join: higher-order folds run interpreted, and the 4-bit
+    # chunks admit ~25% of random pairs — evaluating three 64-dim dots
+    # per candidate (a.b, a.a, b.b) was ~3x this query's runtime
+    dot_vv = "aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
     bands = (fp.select(
         "vec_id", "v", "fp",
+        F.expr(f"sqrt({dot_vv})").alias("nrm"),
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"))
         .withColumn("chunk", F.expr("substr(fp, b * 4 + 1, 4)"))
         .drop("fp"))
-    from ..operators.similarity import cosine_sim
 
     a, bb = (bands.select(F.col("vec_id").alias("id_a"),
-                          F.col("v").alias("va"), "b", "chunk"),
+                          F.col("v").alias("va"), F.col("nrm").alias("na"),
+                          "b", "chunk"),
              bands.select(F.col("vec_id").alias("id_b"),
-                          F.col("v").alias("vb"), F.col("b").alias("b2"),
+                          F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+                          F.col("b").alias("b2"),
                           F.col("chunk").alias("chunk2")))
+    cs = (F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                 " 0D, (acc, x) -> acc + x)")
+          / (F.col("na") * F.col("nb")))
     return (a.join(bb, (F.col("b") == F.col("b2"))
                    & (F.col("chunk") == F.col("chunk2"))
                    & (F.col("id_a") < F.col("id_b")))
-            .withColumn("cs", cosine_sim("va", "vb"))
+            .withColumn("cs", cs)
             .filter(F.col("cs") >= 0.4)
             .select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
             .distinct())
