@@ -584,6 +584,42 @@ def q_stream_curated_ingest(spark, sf_dir):
 
 
 @query(
+    "q_stream_conversions",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+           v.user_id, v.ts AS v_ts, p.ts AS p_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def q_stream_conversions(spark, sf_dir):
+    """STREAM-STREAM interval join graded against the batch oracle:
+    ``streaming.ops.stream_stream_conversions`` (view -> same-user
+    purchase within an hour; both sides watermarked and time-bounded so
+    join state expires — the only viable contract for an unbounded
+    stream) over the events fixture as one drop-zone file, availableNow,
+    append mode. A single micro-batch means no row is ever
+    watermark-dropped, so stream ≡ the batch range join exactly; the
+    multi-batch late-data path is covered by tests/test_streaming.py."""
+    import shutil
+
+    from ..catalog import get_catalog
+    from ..streaming.ops import (read_event_stream, run_to_memory,
+                                 stream_stream_conversions)
+
+    ev = get_catalog(spark, sf_dir).table("events")
+    sdir, tag = _stream_drop_zone({"b0": ev})
+    stream = read_event_stream(spark, sdir, glob="b*.parquet")
+    got = run_to_memory(stream_stream_conversions(stream),
+                        f"conversions_{tag}", timeout_s=300)
+    shutil.rmtree(sdir, ignore_errors=True)
+    return got
+
+
+@query(
     "q_langid_heuristic",
     oracle="""
     SELECT doc_id, lang,
