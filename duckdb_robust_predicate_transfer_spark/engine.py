@@ -173,13 +173,24 @@ class Engine:
         # shadow each single-occurrence table whose relation the rewrite
         # actually reduced, re-analyze the same SQL against the shadows,
         # then restore the original views (analysis is eager, so the
-        # returned DataFrame keeps the reduced plan)
+        # returned DataFrame keeps the reduced plan). A shadow the
+        # transfer measured as small carries an explicit broadcast hint
+        # — the view keeps the hint through re-analysis, giving the SQL
+        # path the same host-size feedback as join_all (a filtered dim's
+        # static footer estimate otherwise plans a sort-merge join past
+        # the broadcast threshold; see host_broadcast_rows)
+        from pyspark.sql import functions as F
+
         shadowed = False
         try:
             for alias, inst in ext.instances.items():
                 if (ext.occurrences(inst.table) == 1
                         and red[alias] is not rels[alias].df):
-                    red[alias].createOrReplaceTempView(inst.table)
+                    shadow = red[alias]
+                    rows = self.last_rows_est.get(alias, 0.0)
+                    if 0.0 < rows <= self._host_broadcast_rows:
+                        shadow = F.broadcast(shadow)
+                    shadow.createOrReplaceTempView(inst.table)
                     shadowed = True
             if not shadowed:
                 return None

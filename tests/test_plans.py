@@ -303,3 +303,37 @@ def test_host_broadcast_feedback(spark, sf_dir):
     assert "BroadcastHashJoin" in plan_on
     assert "BroadcastHashJoin" not in plan_off
     assert "SortMergeJoin" in plan_off
+
+
+def test_host_broadcast_feedback_sql_path(spark, sf_dir):
+    """The SQL auto-transfer path must carry the same size feedback:
+    shadow views of transfer-reduced relations keep an explicit
+    broadcast hint, so the re-analyzed query plans hash joins even when
+    the static threshold would force sort-merge."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine
+
+    force = RPTConfig(min_probe_rows=0, require_selective_build=False,
+                      backward_min_probe_rows=0, minmax_min_probe_rows=0,
+                      persist_min_rows=0, all_broadcast_bail_rows=0)
+    sql = """
+        SELECT o.o_orderpriority, COUNT(*) AS n
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderpriority
+    """
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = Engine(spark, sf_dir, force)
+        on = e.sql(sql)
+        assert e.last_sql_rewritten
+        plan_on = physical(on)
+        off = Engine(spark, sf_dir, RPTConfig(enabled=False)).sql(sql)
+        plan_off = physical(off)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan_on
+    assert "BroadcastHashJoin" not in plan_off
