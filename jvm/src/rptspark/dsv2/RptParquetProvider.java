@@ -156,7 +156,32 @@ final class RptTable implements SupportsRead {
   public ScanBuilder newScanBuilder(CaseInsensitiveStringMap options) {
     CaseInsensitiveStringMap merged =
         new CaseInsensitiveStringMap(Util.merge(props, options));
-    return () -> new RptScan(schema, merged);
+    return new RptScanBuilder(schema, merged);
+  }
+}
+
+final class RptScanBuilder
+    implements ScanBuilder,
+        org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private StructType schema;
+  private final CaseInsensitiveStringMap options;
+
+  RptScanBuilder(StructType schema, CaseInsensitiveStringMap options) {
+    this.schema = schema;
+    this.options = options;
+  }
+
+  @Override
+  public void pruneColumns(StructType requiredSchema) {
+    // column pruning: only the projected columns' pages are read —
+    // the reader sets a projected MessageType on the parquet reader,
+    // so unneeded column chunks are never fetched
+    this.schema = requiredSchema;
+  }
+
+  @Override
+  public Scan build() {
+    return new RptScan(schema, options);
   }
 }
 
@@ -381,11 +406,27 @@ final class RowGroupReader implements PartitionReader<InternalRow> {
           ParquetFileReader.open(new Configuration(), new Path(part.file));
       MessageType fileSchema =
           reader.getFooter().getFileMetaData().getSchema();
+      if (schema.size() == 0) {
+        // pure-count projection: no pages needed, just the row count
+        this.records = null;
+        this.remaining =
+            reader.getFooter().getBlocks().get(part.rowGroup).getRowCount();
+        this.kinds = new int[0];
+        return;
+      }
+      // projected read: only the pruned columns' chunks are fetched
+      List<Type> wanted = new ArrayList<>();
+      for (StructField f : schema.fields()) {
+        wanted.add(fileSchema.getType(f.name()));
+      }
+      MessageType projected =
+          new MessageType(fileSchema.getName(), wanted);
+      reader.setRequestedSchema(projected);
       org.apache.parquet.column.page.PageReadStore pages =
           reader.readRowGroup(part.rowGroup);
-      MessageColumnIO io = new ColumnIOFactory().getColumnIO(fileSchema);
+      MessageColumnIO io = new ColumnIOFactory().getColumnIO(projected);
       this.records =
-          io.getRecordReader(pages, new GroupRecordConverter(fileSchema));
+          io.getRecordReader(pages, new GroupRecordConverter(projected));
       this.remaining = pages.getRowCount();
       this.kinds = new int[schema.size()];
       for (int i = 0; i < schema.size(); i++) {
@@ -417,8 +458,11 @@ final class RowGroupReader implements PartitionReader<InternalRow> {
     if (remaining <= 0) {
       return false;
     }
-    current = records.read();
     remaining--;
+    if (records == null) {
+      return true;  // zero-column read: rows exist, no fields
+    }
+    current = records.read();
     return current != null;
   }
 
