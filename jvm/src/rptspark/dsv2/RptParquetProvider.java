@@ -21,11 +21,13 @@
  *  - filter() drops every row group whose [min,max] cannot intersect
  *    the key set — those bytes are never read.
  *
- * Deliberately NOT production-grade: row-at-a-time Group materialization
- * (no vectorization, no column pruning), flat schemas only
- * (long/int/double/float/string/boolean). The point is the runtime-filter
- * plumbing, which is identical at any reader sophistication; swapping in
- * Spark's vectorized parquet reader changes throughput, not the pruning.
+ * Decoding delegates to Spark's own VectorizedParquetRecordReader fed one
+ * row group per InputPartition (ColumnarBatch output, so scans run at the
+ * native reader's throughput and the row-group pruning is pure savings);
+ * a row-at-a-time fallback remains for zero-column (count-only) reads and
+ * as the `vectorized=false` escape hatch. Still flat schemas only
+ * (long/int/double/float/string/boolean) — the runtime-filter plumbing is
+ * the point, and it is identical at any reader sophistication.
  *
  * Usage:
  *   spark.read.format("rptparquet")
@@ -191,6 +193,7 @@ final class RptScan
   private final StructType schema;
   private final String[] filterCols;
   private final String logFile;
+  private final boolean vectorized;
   private final List<RowGroupPartition> all;
   private List<RowGroupPartition> kept;
   private final long totalBytes;
@@ -201,42 +204,23 @@ final class RptScan
     String fc = options.getOrDefault("filtercolumns", "");
     this.filterCols = fc.isEmpty() ? new String[0] : fc.split(",");
     this.logFile = options.getOrDefault("logfile", "");
+    this.vectorized =
+        !"false".equalsIgnoreCase(options.getOrDefault("vectorized", "true"));
     this.all = new ArrayList<>();
     long bytes = 0;
     long rows = 0;
-    Configuration conf = new Configuration();
     // split planning: one footer read per file on the driver — the same
     // metadata pass every parquet planner performs; row-group min/max
-    // for the declared filter columns rides along for free
+    // for the declared filter columns rides along for free. Footers are
+    // cached by (path, mtime, length) across queries, the role a
+    // FileIndex plays for the native source — DSv2 constructs a fresh
+    // Scan per execution, and re-reading every footer each time showed
+    // up as fixed driver latency on repeated queries.
     for (Path f : Util.listParquet(Util.path(options))) {
-      try (ParquetFileReader r = ParquetFileReader.open(conf, f)) {
-        List<BlockMetaData> blocks = r.getFooter().getBlocks();
-        for (int i = 0; i < blocks.size(); i++) {
-          BlockMetaData b = blocks.get(i);
-          HashMap<String, long[]> ranges = new HashMap<>();
-          for (ColumnChunkMetaData c : b.getColumns()) {
-            String col = String.join(".", c.getPath().toArray());
-            for (String want : filterCols) {
-              if (!col.equals(want.trim())) {
-                continue;
-              }
-              org.apache.parquet.column.statistics.Statistics<?> st =
-                  c.getStatistics();
-              if (st != null && !st.isEmpty() && st.hasNonNullValue()
-                  && st.genericGetMin() instanceof Number) {
-                ranges.put(col, new long[] {
-                    ((Number) st.genericGetMin()).longValue(),
-                    ((Number) st.genericGetMax()).longValue()});
-              }
-            }
-          }
-          all.add(new RowGroupPartition(f.toString(), i, b.getRowCount(),
-              ranges));
-          bytes += b.getTotalByteSize();
-          rows += b.getRowCount();
-        }
-      } catch (IOException e) {
-        throw new RuntimeException("rptparquet: footer read failed: " + f, e);
+      for (RowGroupPartition p : Util.footerPartitions(f, filterCols)) {
+        all.add(p);
+        bytes += p.rgUncompressedBytes;
+        rows += p.rows;
       }
     }
     this.kept = all;
@@ -266,7 +250,28 @@ final class RptScan
 
   @Override
   public PartitionReaderFactory createReaderFactory() {
-    return new RptReaderFactory(schema);
+    // capture the session's SQL confs driver-side: the vectorized
+    // reader's schema converter resolves spark.sql.* keys from the
+    // task-side Hadoop configuration, which Spark's native scan
+    // pre-populates the same way
+    HashMap<String, String> sqlConf = new HashMap<>();
+    try {
+      org.apache.spark.sql.classic.SparkSession session =
+          (org.apache.spark.sql.classic.SparkSession)
+              org.apache.spark.sql.SparkSession.active();
+      scala.collection.Iterator<scala.Tuple2<String, String>> it =
+          session.sessionState().conf().getAllConfs().iterator();
+      while (it.hasNext()) {
+        scala.Tuple2<String, String> kv = it.next();
+        if (kv._1().startsWith("spark.sql.")) {
+          sqlConf.put(kv._1(), kv._2());
+        }
+      }
+    } catch (RuntimeException ignored) {
+      // no active session (shouldn't happen on the driver) — the
+      // reader falls back to explicit defaults for the known keys
+    }
+    return new RptReaderFactory(schema, vectorized, sqlConf);
   }
 
   @Override
@@ -310,31 +315,39 @@ final class RptScan
         continue;
       }
       List<RowGroupPartition> next = new ArrayList<>();
+      long rowsBefore = 0;
+      long rowsAfter = 0;
       for (RowGroupPartition part : kept) {
+        rowsBefore += part.rows;
         long[] range = part.ranges.get(col);
         if (range == null) {
           next.add(part);  // no stats — cannot prune safely
+          rowsAfter += part.rows;
           continue;
         }
         Long hit = vals.ceiling(range[0]);
         if (hit != null && hit <= range[1]) {
           next.add(part);
+          rowsAfter += part.rows;
         }
       }
-      audit(col, vals.size(), kept.size(), next.size());
+      audit(col, vals.size(), kept.size(), next.size(), rowsBefore,
+          rowsAfter);
       kept = next;
     }
   }
 
-  private void audit(String col, int nVals, int before, int after) {
+  private void audit(String col, int nVals, int before, int after,
+      long rowsBefore, long rowsAfter) {
     if (logFile.isEmpty()) {
       return;
     }
     try (FileWriter w = new FileWriter(logFile, true)) {
       w.write(String.format(
           "{\"event\": \"runtime_filter\", \"col\": \"%s\", \"values\": %d,"
-              + " \"row_groups_before\": %d, \"row_groups_after\": %d}%n",
-          col, nVals, before, after));
+              + " \"row_groups_before\": %d, \"row_groups_after\": %d,"
+              + " \"rows_before\": %d, \"rows_after\": %d}%n",
+          col, nVals, before, after, rowsBefore, rowsAfter));
     } catch (IOException ignored) {
       // the audit trail is best-effort; never fail the query over it
     }
@@ -362,27 +375,129 @@ final class RowGroupPartition implements InputPartition, Serializable {
   final String file;
   final int rowGroup;
   final long rows;
+  final long rgStart;   // on-disk byte offset of the row group
+  final long rgBytes;   // compressed byte length (split range for the
+                        // vectorized reader's midpoint row-group pick)
+  final long rgUncompressedBytes;
   final HashMap<String, long[]> ranges;
 
-  RowGroupPartition(String file, int rowGroup, long rows,
+  RowGroupPartition(String file, int rowGroup, long rows, long rgStart,
+      long rgBytes, long rgUncompressedBytes,
       HashMap<String, long[]> ranges) {
     this.file = file;
     this.rowGroup = rowGroup;
     this.rows = rows;
+    this.rgStart = rgStart;
+    this.rgBytes = rgBytes;
+    this.rgUncompressedBytes = rgUncompressedBytes;
     this.ranges = ranges;
   }
 }
 
 final class RptReaderFactory implements PartitionReaderFactory {
   private final StructType schema;
+  private final boolean vectorized;
+  private final HashMap<String, String> sqlConf;
 
-  RptReaderFactory(StructType schema) {
+  RptReaderFactory(StructType schema, boolean vectorized,
+      HashMap<String, String> sqlConf) {
     this.schema = schema;
+    this.vectorized = vectorized;
+    this.sqlConf = sqlConf;
+  }
+
+  @Override
+  public boolean supportColumnarReads(InputPartition partition) {
+    // columnar whenever there are columns to decode; a zero-column
+    // (count-only) projection stays on the trivial row path, which
+    // reads no pages at all
+    return vectorized && schema.size() > 0;
+  }
+
+  @Override
+  public PartitionReader<org.apache.spark.sql.vectorized.ColumnarBatch>
+      createColumnarReader(InputPartition partition) {
+    return new VectorizedRowGroupReader((RowGroupPartition) partition, schema,
+        sqlConf);
   }
 
   @Override
   public PartitionReader<InternalRow> createReader(InputPartition partition) {
     return new RowGroupReader((RowGroupPartition) partition, schema);
+  }
+}
+
+/**
+ * One parquet row group decoded by Spark's own VectorizedParquetRecordReader
+ * (the engine behind the native parquet scan): this source keeps the
+ * split-planning and runtime row-group pruning, Spark keeps the page
+ * decoding — so the pruned scan runs at native-reader throughput and every
+ * skipped row group is pure savings. All-public-API wiring: a FileSplit
+ * spanning exactly the row group's byte range (parquet assigns a row group
+ * to the split containing its midpoint) and the requested Spark schema via
+ * the ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA configuration key —
+ * the same handshake Spark's native FileSourceScan performs.
+ */
+final class VectorizedRowGroupReader
+    implements PartitionReader<org.apache.spark.sql.vectorized.ColumnarBatch> {
+  private final org.apache.spark.sql.execution.datasources.parquet
+      .VectorizedParquetRecordReader vec;
+
+  VectorizedRowGroupReader(RowGroupPartition part, StructType schema,
+      HashMap<String, String> sqlConf) {
+    try {
+      Configuration conf = new Configuration();
+      // defaults for the keys the parquet-to-Spark schema converter
+      // resolves with a bare .toBoolean (no default of its own), in
+      // case the driver-captured conf is missing any
+      conf.set("spark.sql.parquet.binaryAsString", "false");
+      conf.set("spark.sql.parquet.int96AsTimestamp", "true");
+      conf.set("spark.sql.caseSensitive", "false");
+      conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true");
+      conf.set("spark.sql.legacy.parquet.nanosAsLong", "false");
+      for (Map.Entry<String, String> kv : sqlConf.entrySet()) {
+        if (kv.getValue() != null) {
+          conf.set(kv.getKey(), kv.getValue());
+        }
+      }
+      conf.set(
+          org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+              .SPARK_ROW_REQUESTED_SCHEMA(),
+          schema.json());
+      conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+          org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+              .class.getName());
+      // the old-API FileSplit (it extends the mapreduce one): Spark's
+      // reader base downcasts to it for locality info
+      org.apache.hadoop.mapred.FileSplit split =
+          new org.apache.hadoop.mapred.FileSplit(
+              new Path(part.file), part.rgStart, part.rgBytes, new String[0]);
+      this.vec = new org.apache.spark.sql.execution.datasources.parquet
+          .VectorizedParquetRecordReader(false, 4096);
+      vec.initialize(split,
+          new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+              conf, new org.apache.hadoop.mapreduce.TaskAttemptID()));
+      vec.initBatch(new StructType(), new GenericInternalRow(0));
+      vec.enableReturningBatches();
+    } catch (IOException | InterruptedException e) {
+      throw new RuntimeException("rptparquet: row group open failed", e);
+    }
+  }
+
+  @Override
+  public boolean next() throws IOException {
+    return vec.nextBatch();
+  }
+
+  @Override
+  public org.apache.spark.sql.vectorized.ColumnarBatch get() {
+    return (org.apache.spark.sql.vectorized.ColumnarBatch)
+        vec.getCurrentValue();
+  }
+
+  @Override
+  public void close() throws IOException {
+    vec.close();
   }
 }
 
@@ -496,6 +611,61 @@ final class RowGroupReader implements PartitionReader<InternalRow> {
 
 final class Util {
   private Util() {}
+
+  /** (path, mtime, length) -> that file's row-group partitions, with
+   * min/max ranges for the filter columns requested at cache time.
+   * Keyed additionally by the filter-column list so scans declaring
+   * different filterColumns never share stale range maps. */
+  private static final java.util.concurrent.ConcurrentHashMap<String,
+      List<RowGroupPartition>> FOOTERS =
+          new java.util.concurrent.ConcurrentHashMap<>();
+
+  static List<RowGroupPartition> footerPartitions(Path f,
+      String[] filterCols) {
+    try {
+      FileSystem fs = f.getFileSystem(new Configuration());
+      FileStatus st = fs.getFileStatus(f);
+      String key = f + "@" + st.getModificationTime() + ":" + st.getLen()
+          + "#" + String.join(",", filterCols);
+      List<RowGroupPartition> cached = FOOTERS.get(key);
+      if (cached != null) {
+        return cached;
+      }
+      List<RowGroupPartition> out = new ArrayList<>();
+      try (ParquetFileReader r =
+          ParquetFileReader.open(new Configuration(), f)) {
+        List<BlockMetaData> blocks = r.getFooter().getBlocks();
+        for (int i = 0; i < blocks.size(); i++) {
+          BlockMetaData b = blocks.get(i);
+          HashMap<String, long[]> ranges = new HashMap<>();
+          for (ColumnChunkMetaData c : b.getColumns()) {
+            String col = String.join(".", c.getPath().toArray());
+            for (String want : filterCols) {
+              if (!col.equals(want.trim())) {
+                continue;
+              }
+              org.apache.parquet.column.statistics.Statistics<?> stats =
+                  c.getStatistics();
+              if (stats != null && !stats.isEmpty()
+                  && stats.hasNonNullValue()
+                  && stats.genericGetMin() instanceof Number) {
+                ranges.put(col, new long[] {
+                    ((Number) stats.genericGetMin()).longValue(),
+                    ((Number) stats.genericGetMax()).longValue()});
+              }
+            }
+          }
+          out.add(new RowGroupPartition(f.toString(), i, b.getRowCount(),
+              b.getStartingPos(), Math.max(b.getCompressedSize(), 1L),
+              b.getTotalByteSize(), ranges));
+        }
+      }
+      FOOTERS.put(key, out);
+      return out;
+    } catch (IOException e) {
+      throw new RuntimeException("rptparquet: footer read failed: " + f, e);
+    }
+  }
 
   static String path(Map<String, String> options) {
     String p = options.get("path");

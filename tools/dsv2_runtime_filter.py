@@ -36,8 +36,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 JAR = os.path.join(REPO, "jvm", "rpt-dsv2.jar")
-FIX = os.environ.get("DRPT_DSV2_FIX", "/tmp/drpt_dsv2_fix")
 FACT_ROWS = int(os.environ.get("DRPT_DSV2_FACT_ROWS", 20_000_000))
+# keyed by size: a cached fixture from a different FACT_ROWS must never
+# be silently reused
+FIX = os.environ.get("DRPT_DSV2_FIX", f"/tmp/drpt_dsv2_fix_{FACT_ROWS}")
 KEY_SPACE = max(FACT_ROWS // 20, 1000)
 DIM_ROWS = max(KEY_SPACE // 5, 100)
 N_FILES = 32
@@ -78,10 +80,22 @@ def main() -> int:
                  (F.col("id") % 9973).cast("double").alias("f_amount"))
          .repartitionByRange(N_FILES, "f_mk")
          .sortWithinPartitions("f_mk")
-         .write.mode("overwrite").parquet(fact_dir))
+         # several row groups per file (a real warehouse table has
+         # thousands): with one giant group per file, pruning down to a
+         # single group also collapses scan parallelism to one task,
+         # which understates the mechanism relative to any production
+         # layout
+         .write.mode("overwrite")
+         .option("parquet.block.size", 8 * 1024 * 1024)
+         .parquet(fact_dir))
+        # 16 contiguous key segments (6.25% of the key space each): the
+        # dim filter keeps one segment, so the runtime IN-set spans a
+        # few adjacent row groups — a typical star-join reduction, and
+        # one that leaves the pruned scan multiple tasks of parallelism
         (spark.range(DIM_ROWS)
          .select((F.col("id") * 5).alias("d_k"),
-                 (F.col("id") * 5 / 10_000).cast("int").alias("d_seg"))
+                 (F.col("id") * 5 * 16 / KEY_SPACE).cast("int")
+                 .alias("d_seg"))
          .coalesce(1).write.mode("overwrite").parquet(dim_dir))
 
     log = os.path.join(FIX, "prune.log")
@@ -114,14 +128,19 @@ def main() -> int:
     legs = {}
     rows = {}
     legs["native"], rows["native"] = leg(fact_native)  # warm fs cache
-    for name, fact in (("pruned", fact_rf), ("unpruned", fact_plain),
-                       ("native", fact_native)):
-        best = float("inf")
-        for _ in range(2):
+    # interleaved min-of-3 (the bench.py / reference-harness protocol):
+    # sequential per-leg timing lets machine-load drift bias the
+    # comparison between legs
+    facts = (("pruned", fact_rf), ("unpruned", fact_plain),
+             ("native", fact_native))
+    best = {name: float("inf") for name, _ in facts}
+    for _ in range(3):
+        for name, fact in facts:
             t, r = leg(fact)
-            best = min(best, t)
+            best[name] = min(best[name], t)
             rows[name] = r
-        legs[name] = round(best, 3)
+    for name, _ in facts:
+        legs[name] = round(best[name], 3)
 
     audit = []
     if os.path.exists(log):
@@ -136,6 +155,8 @@ def main() -> int:
         "filter_called": bool(audit),
         "row_groups_before": pruned_groups.get("row_groups_before"),
         "row_groups_after": pruned_groups.get("row_groups_after"),
+        "rows_before": pruned_groups.get("rows_before"),
+        "rows_after": pruned_groups.get("rows_after"),
         "sec": legs,
         "prune_speedup": round(legs["unpruned"] / max(legs["pruned"], 1e-3), 3),
         "results_match": rows["pruned"] == rows["unpruned"] == rows["native"],
