@@ -41,3 +41,36 @@ def test_dsv2_runtime_filter_prunes_row_groups():
     assert out["filter_called"]
     assert out["row_groups_after"] < out["row_groups_before"]
     assert out["results_match"]
+
+
+@pytest.mark.slow
+def test_dsv2_composes_with_transfer_engine():
+    """Multi-hop composition: the engine's transfer key set (built two
+    hops away, dim -> mid -> fact) reaches the rptparquet fact SCAN via
+    runtime V2 filtering and drops row groups — the reference's
+    BF-into-scan cascade (rpt_optimizer.cpp:1401-1501) end-to-end, with
+    zero engine changes (the fact enters as Rel(df=...))."""
+    if shutil.which("javac") is None:
+        pytest.skip("no JDK: the optional DSv2 jar cannot be built")
+    env = dict(os.environ)
+    env.update({
+        "DRPT_COMPOSE_DIR": "/tmp/drpt_dsv2_compose_test_fix",
+        # mid must exceed the engine's all_broadcast_bail_rows gate
+        # (400k) or the transfer legitimately skips itself
+        "DRPT_COMPOSE_FACT_ROWS": "4000000",
+        "DRPT_COMPOSE_MID_ROWS": "600000",
+        "DRPT_COMPOSE_DIM_ROWS": "60000",
+        "DRPT_COMPOSE_RUNS": "1",
+        "SPARK_GRAFT_CPUS": "8",
+    })
+    proc = subprocess.run(
+        [sys.executable, "-u",
+         os.path.join(REPO, "tools", "dsv2_transfer_compose.py")],
+        env=env, capture_output=True, text=True, timeout=420)
+    lines = [ln for ln in proc.stdout.splitlines()
+             if ln.startswith('{"suite"')]
+    assert lines, f"no result line; stderr tail: {proc.stderr[-2000:]}"
+    out = json.loads(lines[-1])
+    assert out["filter_called"]
+    assert out["row_groups_after"] < out["row_groups_before"]
+    assert out["results_match"]

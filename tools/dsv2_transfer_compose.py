@@ -1,0 +1,216 @@
+"""Certify multi-hop transfer keys pruning row groups INSIDE the scan.
+
+The reference's complete mechanism is the cascade INTO the scan: a
+Bloom filter built two hops away lands on the probe table's scan as a
+table filter (rpt_optimizer.cpp:1401-1501, physical_create_bf.cpp:
+282-350). The engine's Python tier stops at a semi-join ABOVE the scan;
+jvm/rpt-dsv2.jar adds the missing in-scan hook. This tool proves the
+two COMPOSE with no engine changes: a fact registered as an rptparquet
+DataFrame (``Rel(df=...)``) receives the transfer's broadcast key set
+through Spark's runtime V2 filtering, and whole row groups are skipped
+before a byte is read.
+
+The topology is the regime where this matters and where Spark's own
+runtime filters do nothing: the selective predicate sits TWO hops from
+the fact (fact -> mid -> dim(filtered)), and the surviving keys are
+range-correlated with the fact's clustering (a contiguous dim segment,
+the time-partitioned-warehouse shape). Spark's InjectRuntimeFilter is
+one-hop / creation-side-only, so nothing native reaches the fact scan.
+
+Legs (interleaved min-of-N, identical results asserted):
+  off_native — no transfer, plain parquet fact
+  rpt_native — transfer on, plain parquet fact (semi-join above scan)
+  rpt_dsv2   — transfer on, fact via rptparquet: the reduced mid's key
+               set additionally prunes fact row groups in-scan (audit
+               log proves rows skipped)
+
+Run: python -u tools/dsv2_transfer_compose.py  (emits one JSON line;
+artifact committed as DSV2_COMPOSE_r{N}.json)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JAR = os.path.join(REPO, "jvm", "rpt-dsv2.jar")
+
+FACT_ROWS = int(os.environ.get("DRPT_COMPOSE_FACT_ROWS", 100_000_000))
+MID_ROWS = int(os.environ.get("DRPT_COMPOSE_MID_ROWS", 3_000_000))
+DIM_ROWS = int(os.environ.get("DRPT_COMPOSE_DIM_ROWS", 300_000))
+N_SEG = 16
+BASE = os.environ.get("DRPT_COMPOSE_DIR",
+                      f"/tmp/drpt_dsv2_compose_{FACT_ROWS}")
+
+
+def ensure_fixture(spark):
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(BASE, "_MARKER")
+    if os.path.exists(marker):
+        return
+    os.makedirs(BASE, exist_ok=True)
+    # dim: N_SEG contiguous key segments — the selective filter keeps one
+    (spark.range(DIM_ROWS).select(
+        F.col("id").alias("d_dk"),
+        (F.col("id") * N_SEG / DIM_ROWS).cast("int").alias("d_seg"),
+        F.md5(F.col("id").cast("string")).alias("d_name"))
+     .coalesce(4).write.mode("overwrite")
+     .parquet(os.path.join(BASE, "dim.parquet")))
+    # mid: FK jittered WITHIN the aligned dim segment, so a contiguous
+    # dim selection keeps a contiguous band of mids (range-correlated
+    # selectivity: what a date/tenant hierarchy looks like) while the
+    # hop-1 reduction is still a genuine key-membership semi-join
+    seg_w = DIM_ROWS // N_SEG
+    (spark.range(MID_ROWS).select(
+        F.col("id").alias("m_mk"),
+        (F.expr(f"(id * {N_SEG} div {MID_ROWS}) * {seg_w}")
+         + F.pmod(F.hash(F.col("id"), F.lit(13)), F.lit(seg_w))
+         ).cast("long").alias("m_dk"),
+        F.md5(F.col("id").cast("string")).alias("m_pad"))
+     .repartition(8).write.mode("overwrite")
+     .parquet(os.path.join(BASE, "mid.parquet")))
+    # fact: uniform FK into mid, RANGE-CLUSTERED on disk (sorted files,
+    # several row groups per file) — the layout row-group statistics
+    # exist for
+    (spark.range(FACT_ROWS).select(
+        F.pmod(F.hash(F.col("id"), F.lit(7)), F.lit(MID_ROWS))
+        .cast("long").alias("f_mk"),
+        ((F.col("id") % 1000) / 10.0).alias("f_amount"),
+        (F.col("id") % 100).cast("int").alias("f_cat"))
+     .repartitionByRange(32, "f_mk").sortWithinPartitions("f_mk")
+     .write.mode("overwrite").option("parquet.block.size", 8 * 1024 * 1024)
+     .parquet(os.path.join(BASE, "fact.parquet")))
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession, functions as F
+
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
+
+    spark = (SparkSession.builder.master(
+        f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("drpt-dsv2-compose")
+        .config("spark.driver.memory",
+                os.environ.get("DRPT_DRIVER_MEM", "8g"))
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.jars", JAR)
+        .config("spark.driver.extraClassPath", JAR)
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_fixture(spark)
+
+    log = os.path.join(BASE, "prune.log")
+    cfg = RPTConfig(pass_mode="forward_only")
+    fact_native = spark.read.parquet(os.path.join(BASE, "fact.parquet"))
+
+    def fact_dsv2():
+        if os.path.exists(log):
+            os.remove(log)
+        return (spark.read.format("rptparquet")
+                .option("filterColumns", "f_mk")
+                .option("logFile", log)
+                .load(os.path.join(BASE, "fact.parquet")))
+
+    def run(fact_df, config):
+        e = Engine(spark, BASE, config)
+        j = e.reduce_and_join(
+            {"f": Rel("fact", df=fact_df), "m": "mid",
+             "d": Rel("dim", f"d_seg = 3")},
+            [("f", "m", "f_mk", "m_mk"), ("m", "d", "m_dk", "d_dk")])
+        return (j.groupBy("f_cat")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     # decimal accumulation: double SUM is summation-order
+                     # dependent, and the three legs read in different
+                     # orders — the comparison must be exact
+                     F.sum(F.col("f_amount").cast("decimal(18,4)"))
+                     .alias("amt"),
+                     F.max("m_pad").alias("pad_max")))
+
+    cold = os.environ.get("DRPT_COMPOSE_COLD", "") == "1"
+
+    def drop_caches():
+        # cold-IO mode: a warm page cache makes a 100M-row scan nearly
+        # free locally, hiding exactly the cost row-group pruning
+        # removes; dropping caches per leg measures the regime remote
+        # storage lives in (root-only; silently skipped otherwise)
+        try:
+            os.system("sync")
+            with open("/proc/sys/vm/drop_caches", "w") as fh:
+                fh.write("3")
+        except OSError:
+            pass
+
+    def leg(name):
+        if cold:
+            drop_caches()
+        t0 = time.time()
+        if name == "off_native":
+            rows = run(fact_native, RPTConfig(enabled=False)).collect()
+        elif name == "rpt_native":
+            rows = run(fact_native, cfg).collect()
+        else:
+            rows = run(fact_dsv2(), cfg).collect()
+        dt = time.time() - t0
+        spark.catalog.clearCache()
+        return dt, sorted(map(tuple, rows))
+
+    legs = ("off_native", "rpt_native", "rpt_dsv2")
+    leg("rpt_native")  # warmup: page cache + codegen
+    best = {k: math.inf for k in legs}
+    rows = {}
+    runs = int(os.environ.get("DRPT_COMPOSE_RUNS", "3"))
+    for _ in range(runs):
+        for name in legs:
+            t, r = leg(name)
+            best[name] = min(best[name], t)
+            rows[name] = r
+
+    audit = []
+    if os.path.exists(log):
+        with open(log) as fh:
+            audit = [json.loads(line) for line in fh if line.strip()]
+    # filter() runs once per (re)planned Scan — AQE re-executions append
+    # already-pruned entries; the full-scan event is the one with every
+    # row group still present
+    pr = (max(audit, key=lambda a: a.get("row_groups_before", 0))
+          if audit else {})
+
+    out = {
+        "suite": "dsv2-transfer-compose",
+        "cold_io": cold,
+        "fact_rows": FACT_ROWS, "mid_rows": MID_ROWS, "dim_rows": DIM_ROWS,
+        "filter_called": bool(audit),
+        "row_groups_before": pr.get("row_groups_before"),
+        "row_groups_after": pr.get("row_groups_after"),
+        "rows_before": pr.get("rows_before"),
+        "rows_after": pr.get("rows_after"),
+        "transfer_keys": pr.get("values"),
+        "sec": {k: round(v, 3) for k, v in best.items()},
+        "rpt_speedup": round(best["off_native"]
+                             / max(best["rpt_native"], 1e-3), 3),
+        "dsv2_vs_rpt": round(best["rpt_native"]
+                             / max(best["rpt_dsv2"], 1e-3), 3),
+        "results_match": (rows["off_native"] == rows["rpt_native"]
+                          == rows["rpt_dsv2"]),
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+    ok = (out["results_match"] and out["filter_called"]
+          and (out["row_groups_after"] or 0) < (out["row_groups_before"] or 1))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
