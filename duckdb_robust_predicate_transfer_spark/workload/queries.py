@@ -699,6 +699,88 @@ def q_window_range_frame(spark, sf_dir):
                     F.lag("o_orderkey", 1).over(wl).alias("prev_key")))
 
 
+_NTILE_BODY = """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(NTILE(4) OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+    FROM orders
+    WHERE o_totalprice > 100000
+"""
+
+
+@query("q_window_ntile", oracle=_NTILE_BODY)
+def q_window_ntile(spark, sf_dir):
+    """NTILE bucketing — deterministic because the window's ORDER BY is
+    a total order (o_orderkey tiebreak); both engines share the frame
+    semantics. Window = opaque transfer boundary
+    (rpt_optimizer.cpp:120-124)."""
+    return eng(spark, sf_dir).sql(_NTILE_BODY)
+
+
+@query(
+    "q_string_agg",
+    # dialect split: DuckDB spells ordered concatenation string_agg(x,
+    # sep ORDER BY x); Spark 4 spells it listagg(x, sep) WITHIN GROUP.
+    # Same ordered-list semantics, so values hash-match exactly.
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_string_agg(spark, sf_dir):
+    return eng(spark, sf_dir).sql("""
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)
+                 AS nations
+        FROM nation GROUP BY n_regionkey
+    """)
+
+
+_LATERAL_BODY = """
+    SELECT r.r_name, t.n_name, t.n_nationkey
+    FROM region r, LATERAL (
+        SELECT n_name, n_nationkey FROM nation n
+        WHERE n.n_regionkey = r.r_regionkey
+        ORDER BY n_name LIMIT 2) t
+"""
+
+
+@query("q_lateral_topn", oracle=_LATERAL_BODY)
+def q_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery (top-N per outer row) — shared
+    syntax in both dialects; Catalyst decorrelates it to a ranked
+    join, the same way DuckDB's DELIM_JOIN path does
+    (rpt_optimizer.cpp:49-50)."""
+    return eng(spark, sf_dir).sql(_LATERAL_BODY)
+
+
+@query(
+    "q_unnest_array",
+    # dialect split: DuckDB aligns unnest() with generate_subscripts()
+    # (1-based); Spark spells the same thing posexplode (0-based, +1)
+    oracle="""
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) AS INT) AS pos,
+           ROUND(CAST(unnest(embedding) AS DOUBLE), 6) AS val
+    FROM embeddings WHERE vec_id < 8
+    """,
+)
+def q_unnest_array(spark, sf_dir):
+    """Array unnesting with ordinality over the embedding fixture —
+    the array<float> surface as a relational operator (generator =
+    generic recursion for the transfer planner,
+    rpt_optimizer.cpp:134-137)."""
+    e = eng(spark, sf_dir)
+    return (e.table("embeddings").filter(F.col("vec_id") < 8)
+            .select("vec_id", F.posexplode("embedding")
+                    .alias("pos0", "fval"))
+            .select("vec_id",
+                    (F.col("pos0") + 1).cast("int").alias("pos"),
+                    F.round(F.col("fval").cast("double"), 6).alias("val")))
+
+
 # --------------------------------------------------------------------------
 # sort / limit / top-k
 # --------------------------------------------------------------------------
