@@ -511,6 +511,73 @@ def q_stream_windowed_counts(spark, sf_dir):
 
 
 @query(
+    "q_events_hopping",
+    # hopping/sliding window: duration 2h, slide 1h — every event lands
+    # in the two hour-aligned windows covering it; DuckDB expresses the
+    # same assignment as a shifted-bucket UNION ALL
+    oracle="""
+    WITH w AS (
+      SELECT DATE_TRUNC('hour', ts) AS window_start, value FROM events
+      UNION ALL
+      SELECT DATE_TRUNC('hour', ts) - INTERVAL 1 HOUR, value FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1
+    """,
+)
+def q_events_hopping(spark, sf_dir):
+    """Hopping (sliding) window aggregate — ``window(ts, 2h, slide 1h)``
+    assigns each event to both covering hour-aligned windows. The
+    overlap factor (duration/slide) bounds the row expansion; the
+    aggregation itself stays a partial-agg groupBy."""
+    e = eng(spark, sf_dir)
+    return (e.table("events")
+            .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "n_events", "total_value"))
+
+
+@query(
+    "q_stream_enriched",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type,
+           c.c_nationkey, c.c_mktsegment
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def q_stream_enriched(spark, sf_dir):
+    """STREAMING stream-static join graded against the batch oracle:
+    ``streaming.ops.enriched_stream`` left-joins the event stream to
+    the static customer dimension (re-read per micro-batch, broadcast
+    when small — the streaming analogue of the engine's broadcast dim
+    joins). Stateless, so append mode under availableNow is exactly
+    the batch join."""
+    import shutil
+
+    from ..catalog import get_catalog
+    from ..streaming.ops import (enriched_stream, read_event_stream,
+                                 run_to_memory)
+
+    cat = get_catalog(spark, sf_dir)
+    ev = cat.table("events")
+    dim = cat.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey", "c_mktsegment")
+    sdir, tag = _stream_drop_zone({"b0": ev})
+    stream = read_event_stream(spark, sdir, glob="b*.parquet")
+    got = run_to_memory(
+        enriched_stream(stream, dim).select(
+            "event_id", "user_id", "event_type",
+            "c_nationkey", "c_mktsegment"),
+        f"enriched_{tag}", timeout_s=300)
+    shutil.rmtree(sdir, ignore_errors=True)
+    return got
+
+
+@query(
     "q_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )
