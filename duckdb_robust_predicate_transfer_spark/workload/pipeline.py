@@ -578,6 +578,67 @@ def q_stream_enriched(spark, sf_dir):
 
 
 @query(
+    "q_stream_asof",
+    # the batch q_events_asof oracle, restricted to the stream op's
+    # output columns; DuckDB's native ASOF LEFT JOIN is the ground truth
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    )
+    SELECT v.event_id, v.user_id,
+           p.ts AS purchase_ts, p.purchase_value
+    FROM v ASOF LEFT JOIN p
+        ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def q_stream_asof(spark, sf_dir):
+    """STREAMING as-of join graded against DuckDB's native ASOF LEFT
+    JOIN: the one custom stateful operator (applyInPandasWithState,
+    ``streaming.ops.asof_stream`` — watermark-buffered probes, O(1)
+    carried ref per user). Three time-ordered micro-batch files plus a
+    far-future sentinel advance the event-time watermark so every real
+    probe's match is decided before the availableNow run drains; the
+    sentinel row is filtered back out of the declared output."""
+    import os
+    import shutil
+    from datetime import timedelta
+
+    from ..catalog import get_catalog
+    from ..streaming.ops import (asof_stream, read_event_stream,
+                                 run_to_memory)
+
+    raw = get_catalog(spark, sf_dir).table("events")
+    qs = (raw.select(F.unix_micros("ts").alias("us"))
+          .approxQuantile("us", [0.33, 0.66], 0.0))
+    us = F.unix_micros("ts")
+    parts = [raw.filter(us <= qs[0]),
+             raw.filter((us > qs[0]) & (us <= qs[1])),
+             raw.filter(us > qs[1])]
+    far_future = (raw.agg(F.max("ts")).collect()[0][0]
+                  + timedelta(days=11))
+    sentinel = spark.createDataFrame(
+        [(-1, far_future, -1, "view", 0.0, "{}")], raw.schema)
+    sdir, tag = _stream_drop_zone(
+        {f"b{i}": p for i, p in enumerate(parts + [sentinel])})
+    # mtime order = arrival order: the reader takes files oldest-first
+    for i in range(4):
+        f = os.path.join(sdir, f"b{i}.parquet")
+        os.utime(f, (1_000_000 + i, 1_000_000 + i))
+    stream = read_event_stream(spark, sdir, glob="b*.parquet")
+    got = run_to_memory(asof_stream(stream), f"asof_{tag}", timeout_s=300)
+    out = (got.filter(F.col("user_id") >= 0)
+           .select("event_id", "user_id", "purchase_ts", "purchase_value"))
+    out = out.localCheckpoint(eager=True)  # sink table outlives cleanup
+    shutil.rmtree(sdir, ignore_errors=True)
+    return out
+
+
+@query(
     "q_stream_dedup",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )

@@ -38,6 +38,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: (operators/multimodal.py)
 ARROW_OK = {"q_multimodal_features"}
 
+#: queries whose plan is ALLOWED to contain the Arrow-batched STATEFUL
+#: operator (applyInPandasWithState) — the prescribed mechanism for
+#: custom stateful streaming ops Spark's built-ins cannot express
+STATEFUL_OK = {"q_stream_asof": "streaming as-of join needs a per-key "
+                                "argmax over the unbounded past "
+                                "(streaming/ops.py asof_stream)",
+               "q_stream_sessionize": "stateful sessionizer "
+                                      "(streaming/ops.py)"}
+
 #: nested-loop joins waived query-by-query, each with the reason the
 #: broadcast side is BOUNDED by construction (recorded in the artifact;
 #: any new NLJ without an entry here fails the audit)
@@ -103,7 +112,14 @@ def main() -> int:
                 violations.append({"query": name, "kind": "nested_loop_join"})
         if "BatchEvalPython" in plan:
             violations.append({"query": name, "kind": "row_python_udf"})
-        if "MapInPandas" in plan or "ArrowEvalPython" in plan:
+        if "InPandasWithState" in plan:
+            if name in STATEFUL_OK:
+                waived.append({"query": name, "kind": "stateful_pandas",
+                               "reason": STATEFUL_OK[name]})
+            else:
+                violations.append({"query": name,
+                                   "kind": "unexpected_stateful_pandas"})
+        elif "MapInPandas" in plan or "ArrowEvalPython" in plan:
             if name in ARROW_OK:
                 waived.append({"query": name, "kind": "arrow_python",
                                "reason": "the deliberate multimodal "
