@@ -1,0 +1,75 @@
+"""Duplicate-cluster resolution: connected components over candidate
+pairs.
+
+Near-dup detection (dedup.py / the portable-oracle pipelines) emits
+PAIRS; a training-data run needs CLUSTERS — "keep one document per
+group of mutual near-duplicates", where duplicate chains (a~b, b~c,
+a!~c) must still collapse to one survivor. That is connected
+components over the pair graph, computed here as iterative min-label
+propagation in pure DataFrame ops:
+
+- every node starts labeled with itself;
+- each round, a node takes the minimum label among itself and its
+  neighbors' labels (one join + one groupBy per round);
+- iterate to fixpoint: converged when no label changed.
+
+Rounds needed = graph diameter; duplicate clusters are shallow (near-
+dup groups, not social graphs), so the loop is short in practice and
+``max_iters`` bounds it. Each round materializes via localCheckpoint —
+iterative lineage would otherwise stack and re-execute (and the
+CacheManager stays out of later queries' plans). The per-round
+convergence check is one count aggregate, not a collect of labels.
+
+At 100 TB scale the same loop shape holds: the label frontier shuffles
+on node id each round, and the alternative for adversarial diameters
+is pointer-jumping (propagate through label links, O(log n) rounds) —
+out of scope for duplicate clusters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(pairs: DataFrame, a_col: str = "id_a",
+                         b_col: str = "id_b", max_iters: int = 20
+                         ) -> DataFrame:
+    """(node, label) for every node appearing in ``pairs``; ``label``
+    is the minimum node id reachable from ``node`` (deterministic
+    canonical representative)."""
+    und = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+           .union(pairs.select(F.col(b_col).alias("src"),
+                               F.col(a_col).alias("dst")))
+           .distinct()
+           .localCheckpoint(eager=True))
+    labels = (und.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iters):
+        nbr = (und.join(labels, und.dst == labels.node)
+               .select(F.col("src").alias("node"),
+                       F.col("label").alias("nbr_label")))
+        new = (labels.join(nbr, "node", "left")
+               .groupBy("node")
+               .agg(F.least(F.min("label"), F.min("nbr_label"))
+                    .alias("label"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Collapse near-duplicate clusters to one canonical survivor per
+    component (minimum id wins; documents in no pair survive as their
+    own singleton). Returns ``docs`` filtered to the survivors."""
+    comp = connected_components(pairs)
+    losers = (comp.filter(F.col("node") != F.col("label"))
+              .select(F.col("node").alias(id_col)))
+    return docs.join(losers, id_col, "left_anti")

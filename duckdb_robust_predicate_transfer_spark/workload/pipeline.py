@@ -883,7 +883,12 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     operators/dedup.py:40-89 — shingles explode -> map-side-combined
     min aggregation, band bucket equi-join, never all-pairs (the
     reference has no dedup surface; training-data mandate)."""
-    e = eng(spark, sf_dir)
+    return _portable_minhash_pairs(eng(spark, sf_dir))
+
+
+def _portable_minhash_pairs(e):
+    """(doc_a < doc_b) candidate pairs via the md5-portable MinHash+LSH
+    pipeline — shared by q_minhash_lsh_pairs and q_dedup_clusters."""
     w = (e.table("documents")
          .select("doc_id", F.split(F.col("text"), " ", -1).alias("arr"))
          .filter(F.size("arr") >= 3))
@@ -913,6 +918,76 @@ def q_minhash_lsh_pairs(spark, sf_dir):
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
+
+
+@query(
+    "q_dedup_clusters",
+    # same portable pair pipeline, then connected components as a
+    # recursive CTE (transitive closure is fine at oracle scale; the
+    # Spark side iterates min-label propagation instead) and an
+    # anti-join keeping one canonical survivor per duplicate cluster
+    oracle="""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS arr FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 3
+    ),
+    tok AS (
+      SELECT DISTINCT doc_id,
+             arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS t
+      FROM w, UNNEST(GENERATE_SERIES(1, LEN(arr) - 2)) AS u(i)
+    ),
+    sig AS (
+      SELECT doc_id,
+             MIN(md5('0|' || t)) AS h0, MIN(md5('1|' || t)) AS h1,
+             MIN(md5('2|' || t)) AS h2, MIN(md5('3|' || t)) AS h3,
+             MIN(md5('4|' || t)) AS h4, MIN(md5('5|' || t)) AS h5,
+             MIN(md5('6|' || t)) AS h6, MIN(md5('7|' || t)) AS h7
+      FROM tok GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(h0 || h1) AS bh FROM sig
+      UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+      UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+      UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                  AND a.doc_id < b.doc_id
+    ),
+    und AS (
+      SELECT pa AS s, pb AS d FROM pairs
+      UNION SELECT pb, pa FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT s, d FROM und
+      UNION
+      SELECT r.s, u.d FROM reach r JOIN und u ON r.d = u.s
+    ),
+    losers AS (
+      SELECT s AS doc_id FROM reach GROUP BY s
+      HAVING MIN(d) < s
+    )
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER dedup: candidate pairs (portable MinHash+LSH)
+    -> connected components (operators/cluster.py iterative min-label
+    propagation) -> one canonical survivor per component (min doc_id).
+    The oracle computes the identical components with a recursive CTE.
+    This is the iterative-algorithm surface: duplicate CHAINS (a~b,
+    b~c, a!~c) collapse to one survivor, which pairwise dedup cannot
+    express."""
+    from ..operators.cluster import dedup_clusters
+
+    e = eng(spark, sf_dir)
+    pairs = _portable_minhash_pairs(e)
+    docs = e.table("documents").select("doc_id")
+    return dedup_clusters(docs, pairs.select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")))
 
 
 #: portable SimHash plumbing (q_simhash_pairs): one bit per md5 hex

@@ -338,3 +338,20 @@ def test_ivf_prebuilt_index_matches_inline(spark, sf_dir):
     via_index = sorted(map(tuple, ivf_topk_batch(
         emb, queries, k=5, nprobe=4, index=idx).collect()))
     assert via_index == inline
+
+
+def test_connected_components_chain(spark):
+    from duckdb_robust_predicate_transfer_spark.operators.cluster import (
+        connected_components, dedup_clusters)
+
+    # chain 1-2-3 (1!~3 directly) + island 7-8 + singleton 9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a bigint, id_b bigint")
+    comp = {(r.node, r.label)
+            for r in connected_components(pairs).collect()}
+    assert comp == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7, 8, 9)], "doc_id bigint")
+    kept = sorted(r.doc_id for r in dedup_clusters(docs, pairs).collect())
+    assert kept == [1, 7, 9]
