@@ -1283,6 +1283,51 @@ def q_multimodal_features(spark, sf_dir):
                  .alias("avg_f0")))
 
 
+#: hex-pair -> byte value, portable string ops only
+_HEXPOS = "0123456789abcdef"
+
+
+def _sha_byte_sql(i: int) -> str:
+    return (f"CAST((position(substr(h, {2 * i + 1}, 1) IN '{_HEXPOS}') - 1)"
+            f" * 16 + (position(substr(h, {2 * i + 2}, 1) IN '{_HEXPOS}')"
+            f" - 1) AS INT) AS b{i}")
+
+
+@query(
+    "q_multimodal_features_portable",
+    # the stub's deterministic fake (sha256-derived bytes) re-derived in
+    # portable SQL: the ORACLE verifies the mapInPandas PLUMBING — Arrow
+    # batch alignment, schema, row identity — end to end; only the
+    # decode itself remains a stub
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id AS asset_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+             sha256(text) AS h
+      FROM documents WHERE doc_id < 500
+    )
+    SELECT asset_id, n_bytes,
+           {", ".join(_sha_byte_sql(i) for i in range(8))}
+    FROM s
+    """,
+)
+def q_multimodal_features_portable(spark, sf_dir):
+    """The multimodal pipeline's ORACLE-CHECKABLE tier: the stub
+    feature is f_i = byte_i(sha256(payload))/255 - 0.5, so recovering
+    round((f_i + 0.5) * 255) must reproduce the digest bytes DuckDB
+    computes with string ops alone. Any mapInPandas misalignment
+    (batch ordering, schema drift, row identity) breaks the match —
+    the plumbing is verified; the decode stays honestly stubbed."""
+    from ..operators.multimodal import documents_as_assets, extract_features
+
+    e = eng(spark, sf_dir)
+    assets = documents_as_assets(
+        e.table("documents").filter(F.col("doc_id") < 500))
+    feats = extract_features(assets, dim=8)
+    cols = [F.round((F.element_at("feature", i + 1) + F.lit(0.5)) * 255)
+            .cast("int").alias(f"b{i}") for i in range(8)]
+    return feats.select("asset_id", "n_bytes", *cols)
+
+
 @query(
     "q_events_json",
     oracle="""

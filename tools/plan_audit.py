@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #: queries whose plan is ALLOWED to contain Arrow-batched Python — the
 #: multimodal decode stub, the one deliberate Python surface
 #: (operators/multimodal.py)
-ARROW_OK = {"q_multimodal_features"}
+ARROW_OK = {"q_multimodal_features", "q_multimodal_features_portable"}
 
 #: queries whose plan is ALLOWED to contain the Arrow-batched STATEFUL
 #: operator (applyInPandasWithState) — the prescribed mechanism for
