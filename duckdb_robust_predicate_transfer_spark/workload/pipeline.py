@@ -990,6 +990,118 @@ def q_dedup_clusters(spark, sf_dir):
         F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")))
 
 
+@query(
+    "q_ann_ivf_portable",
+    # the complete IVF layout — portable centroid sample, inverted-file
+    # assignment, top-nprobe probe, exact rescore — computed identically
+    # in both engines: md5 centroid selection, explicit (sim DESC, id
+    # DESC) tie-breaks, sequential-fold dot products, rounded rescore
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS centroid_id, ed AS cd FROM corpus
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, k.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.ed, k.cd)
+                 / (sqrt(list_dot_product(c.ed, c.ed))
+                    * sqrt(list_dot_product(k.cd, k.cd))) DESC,
+                 k.centroid_id DESC) AS rn
+        FROM corpus c CROSS JOIN cents k) t
+      WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS qid, ed AS qd FROM corpus WHERE vec_id < 5),
+    probe AS (
+      SELECT qid, centroid_id FROM (
+        SELECT q.qid, k.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 list_dot_product(q.qd, k.cd)
+                 / (sqrt(list_dot_product(q.qd, q.qd))
+                    * sqrt(list_dot_product(k.cd, k.cd))) DESC,
+                 k.centroid_id DESC) AS rn
+        FROM qs q CROSS JOIN cents k) t
+      WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.qid, a.vec_id,
+             ROUND(list_dot_product(q.qd, co.ed)
+                   / (sqrt(list_dot_product(q.qd, q.qd))
+                      * sqrt(list_dot_product(co.ed, co.ed))), 6)
+               AS cos_sim
+      FROM probe p
+      JOIN assign a USING (centroid_id)
+      JOIN qs q ON q.qid = p.qid
+      JOIN corpus co ON co.vec_id = a.vec_id
+    )
+    SELECT qid, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored) r
+    WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_portable(spark, sf_dir):
+    """ORACLE-VERIFIED IVF ANN: both engines build the same index
+    (8 md5-sampled centroids, argmax assignment with explicit
+    (sim DESC, centroid_id DESC) tie-break), probe the same 2 lists
+    per query and rescore exactly. Dot products fold sequentially in
+    both engines, so even the doubles agree bit-for-bit before the
+    ROUND. The operator tier (similarity.ivf_*) keeps its faster
+    engine-specific hash sampling and codegen'd argmax — this query
+    proves the LAYOUT's correctness end to end."""
+    from pyspark.sql.window import Window as W
+
+    from ..operators.similarity import _dot
+
+    e = eng(spark, sf_dir)
+    corpus = (e.table("embeddings")
+              .select("vec_id",
+                      F.expr("transform(embedding, x -> cast(x as double))")
+                      .alias("ed")))
+    cents = (corpus
+             .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+             .limit(8)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("ed").alias("cd")))
+    cos = (F.expr(_dot("ed", "cd"))
+           / (F.expr(f"sqrt({_dot('ed', 'ed')})")
+              * F.expr(f"sqrt({_dot('cd', 'cd')})")))
+    wa = W.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").desc())
+    assign = (corpus.crossJoin(F.broadcast(cents))
+              .withColumn("sim", cos)
+              .withColumn("rn", F.row_number().over(wa))
+              .filter(F.col("rn") == 1)
+              .select("vec_id", "centroid_id"))
+    qs = (corpus.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("qid"), F.col("ed").alias("qd")))
+    qcos = (F.expr(_dot("qd", "cd"))
+            / (F.expr(f"sqrt({_dot('qd', 'qd')})")
+               * F.expr(f"sqrt({_dot('cd', 'cd')})")))
+    wp = W.partitionBy("qid").orderBy(
+        F.col("sim").desc(), F.col("centroid_id").desc())
+    probe = (qs.crossJoin(F.broadcast(cents))
+             .withColumn("sim", qcos)
+             .withColumn("rn", F.row_number().over(wp))
+             .filter(F.col("rn") <= 2)
+             .select("qid", "qd", "centroid_id"))
+    rescore = (F.expr(_dot("qd", "ed"))
+               / (F.expr(f"sqrt({_dot('qd', 'qd')})")
+                  * F.expr(f"sqrt({_dot('ed', 'ed')})")))
+    wr = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (probe.join(assign, "centroid_id")
+            .join(corpus, "vec_id")
+            .withColumn("cos_sim", F.round(rescore, 6))
+            .withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= 5)
+            .select("qid", "vec_id", "cos_sim", "rank"))
+
+
 #: portable SimHash plumbing (q_simhash_pairs): one bit per md5 hex
 #: digit — digit parity ('1','3',...,'f' => +1 vote else -1) — gives a
 #: 32-bit fingerprint both engines compute bit-identically from string

@@ -65,6 +65,7 @@ NLJ_OK = {
     "q_ann_recall_ivf_trained": "broadcast query/centroid sets",
     "q_ann_ivf_topk": "broadcast centroid set (<=256 rows)",
     "q_ann_lsh_topk": "broadcast of ONE query vector row",
+    "q_ann_ivf_portable": "broadcast centroid set (8 rows)",
 }
 
 
