@@ -109,7 +109,9 @@ def _conjuncts(expr) -> list:
 
 
 def _scan_expr(expr, attr_ids: list) -> None:
-    """Collect AttributeReference exprIds; reject subquery expressions."""
+    """Collect AttributeReference exprIds; reject subquery expressions.
+    (Strict form — used where a subquery can never be tolerated, e.g.
+    inside an equi-edge side.)"""
     c = _cls(expr)
     if c in _SUBQUERY_EXPRS or "Subquery" in c:
         raise _Unsupported("subquery expression")
@@ -154,18 +156,68 @@ class _Walker:
         self.instances: dict = {}
         self.id_map: dict = {}    # exprId -> (alias, col name)
         self.edges: list = []
+        #: tables referenced INSIDE subquery expressions. The caller's
+        #: replay re-analyzes the same SQL against shadow views, so a
+        #: reduced shadow would also substitute into the subquery and
+        #: could change ITS result — these tables are therefore barred
+        #: from reduction/shadowing (the analogue of the reference
+        #: excluding MARK-join build sides from transfer,
+        #: rpt_optimizer.cpp:546-549, while still rewriting the rest).
+        self.protected_tables: set = set()
+
+    # -- subquery tolerance ---------------------------------------------
+
+    def _scan_tolerant(self, expr, attr_ids: list, flags: list) -> None:
+        """Like _scan_expr, but a subquery expression sets a flag and
+        protects its inner tables instead of aborting extraction: the
+        conjunct is simply not harvested (the replayed SQL re-applies
+        it verbatim), which is always sound because reduction only ever
+        removes rows a harvested join would drop anyway."""
+        c = _cls(expr)
+        if c in _SUBQUERY_EXPRS or "Subquery" in c:
+            flags.append(c)
+            try:
+                self._protect_plan(expr.plan())
+            except Exception:
+                # wrapper without a plan() (e.g. InSubquery) — its
+                # ListQuery child below carries it
+                pass
+            for child in _jseq(expr.children()):
+                self._scan_tolerant(child, [], flags)
+            return
+        if c == "AttributeReference":
+            attr_ids.append(expr.exprId().id())
+            return
+        for child in _jseq(expr.children()):
+            self._scan_tolerant(child, attr_ids, flags)
+
+    def _protect_plan(self, plan) -> None:
+        """Record every known table referenced anywhere under a
+        subquery's plan (incl. nested subqueries)."""
+        if _cls(plan) == "SubqueryAlias":
+            leaf = _leaf_of(plan, self.known)
+            if leaf is not None:
+                self.protected_tables.add(leaf[1])
+                return
+        for kid in _jseq(plan.children()):
+            self._protect_plan(kid)
+        for e in _jseq(plan.expressions()):
+            self._scan_tolerant(e, [], [])
 
     # -- condition harvesting -------------------------------------------
 
     def _attach(self, conjunct, how: str | None,
                 left_set: set, right_set: set) -> None:
         """Route one conjunct: equi edge, local filter, or ignore."""
+        flags: list = []
         c = _cls(conjunct)
         if c == "EqualTo":
             ids_l: list = []
             ids_r: list = []
-            _scan_expr(conjunct.left(), ids_l)
-            _scan_expr(conjunct.right(), ids_r)
+            self._scan_tolerant(conjunct.left(), ids_l, flags)
+            self._scan_tolerant(conjunct.right(), ids_r, flags)
+            if flags:
+                return  # subquery-bearing conjunct: replayed, never harvested
             if (len(ids_l) == 1 and len(ids_r) == 1
                     and _cls(conjunct.left()) == "AttributeReference"
                     and _cls(conjunct.right()) == "AttributeReference"):
@@ -186,7 +238,9 @@ class _Walker:
                     return
         # not a usable equi pair: try attaching as a local filter
         ids: list = []
-        _scan_expr(conjunct, ids)
+        self._scan_tolerant(conjunct, ids, flags)
+        if flags:
+            return  # subquery-bearing conjunct: replayed, never harvested
         owners = {self.id_map[i][0] for i in ids if i in self.id_map}
         if len(owners) == 1 and len(ids) > 0 and conjunct.deterministic():
             alias = owners.pop()
@@ -231,8 +285,8 @@ class _Walker:
                     self._attach(conj, how, left_set, right_set)
                 else:
                     # full/anti conditions are replayed by the query
-                    # itself — but still reject hidden subqueries
-                    _scan_expr(conj, [])
+                    # itself; hidden subqueries protect their tables
+                    self._scan_tolerant(conj, [], [])
             return left_set | right_set
 
         if c not in _PASS_NODES:
@@ -246,9 +300,11 @@ class _Walker:
             for conj in _conjuncts(node.condition()):
                 self._attach(conj, None, set(), set())
         else:
-            # reject plans hiding subquery expressions anywhere else
+            # subquery expressions elsewhere (e.g. a scalar subquery in
+            # a SELECT list) protect their tables; the replay re-binds
+            # them against the untouched views
             for e in _jseq(node.expressions()):
-                _scan_expr(e, [])
+                self._scan_tolerant(e, [], [])
         return sub
 
 
@@ -258,7 +314,12 @@ def extract_join_graph(df: DataFrame, known_tables: set) -> Extraction | None:
         plan = df._jdf.queryExecution().analyzed()
         w = _Walker(set(known_tables))
         w.walk(plan)
-        # drop edges touching protected (full-outer) instances
+        # a table referenced inside a subquery must keep its original
+        # contents at replay: bar every outer instance of it too
+        for inst in w.instances.values():
+            if inst.table in w.protected_tables:
+                inst.protected = True
+        # drop edges touching protected (full-outer / subquery) instances
         edges = [e for e in w.edges
                  if not w.instances[e.left].protected
                  and not w.instances[e.right].protected]

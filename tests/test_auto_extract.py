@@ -191,3 +191,38 @@ def test_sql_auto_non_join_queries_pass_through(eng):
     for sql in ["SELECT COUNT(*) AS c FROM lineitem",
                 "SELECT r_name FROM region ORDER BY r_name LIMIT 2"]:
         assert _rows(eng.sql(sql)) == _rows(eng.sql(sql, auto_rpt=False))
+
+
+def test_sql_auto_subquery_predicate_composes(eng):
+    """An IN-subquery conjunct no longer aborts extraction: the rest of
+    the join graph still transfers (the reference lifts BF blocks above
+    MARK joins, rpt_optimizer.cpp:1518-1549), the subquery conjunct is
+    replayed verbatim, and its inner table is barred from shadowing."""
+    sql = """
+        SELECT o_orderpriority, COUNT(*) AS cnt
+        FROM lineitem, orders, customer, nation
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n_nationkey AND n_name = 'NATION_3'
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 25)
+        GROUP BY o_orderpriority
+    """
+    on = eng.sql(sql, config=FORCE)
+    assert eng.last_sql_rewritten
+    assert _rows(on) == _rows(eng.sql(sql, auto_rpt=False))
+
+
+def test_sql_auto_subquery_table_never_shadowed(eng):
+    """A table referenced BOTH in the outer query and inside a subquery
+    is protected everywhere: the replay would otherwise substitute the
+    reduced shadow into the subquery and change its result. With the
+    only other edge gone, extraction correctly declines."""
+    sql = """
+        SELECT COUNT(*) AS cnt
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey AND p_size < 10
+          AND l_orderkey IN (SELECT l_orderkey FROM lineitem
+                             WHERE l_quantity > 49)
+    """
+    on = eng.sql(sql, config=FORCE)
+    assert not eng.last_sql_rewritten
+    assert _rows(on) == _rows(eng.sql(sql, auto_rpt=False))

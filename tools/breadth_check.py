@@ -138,6 +138,29 @@ def build_query(tables: list, rng: random.Random) -> str:
         if f:
             conds.append(f)
 
+    # subquery predicates (~30% of statements): IN-subquery rides the
+    # MARK-join path (BF block lifted above it, rpt_optimizer.cpp:
+    # 1518-1549), EXISTS/NOT EXISTS the correlated DELIM path — the
+    # auto-extractor must either compose with them or bail safely,
+    # and on+off+oracle must still agree either way
+    if rng.random() < 0.30:
+        cands = []
+        if "part" not in tables:
+            cands.append("l_partkey IN (SELECT p_partkey FROM part"
+                         " WHERE p_size < 25)")
+        if "supplier" not in tables:
+            cands.append("EXISTS (SELECT 1 FROM supplier s9 WHERE"
+                         " s9.s_suppkey = l_suppkey AND s9.s_acctbal > 0)")
+        if "orders" not in tables:
+            cands.append("l_orderkey IN (SELECT o_orderkey FROM orders"
+                         " WHERE o_orderpriority = '1-URGENT')")
+        if "customer" in tables:
+            cands.append("NOT EXISTS (SELECT 1 FROM orders o9 WHERE"
+                         " o9.o_custkey = c_custkey"
+                         " AND o9.o_totalprice > 400000)")
+        if cands:
+            conds.append(rng.choice(cands))
+
     group_pool = [g for t in tables for g in GROUPS.get(t, [])]
     groups = (sorted(rng.sample(group_pool, min(len(group_pool),
                                                 rng.choice([1, 1, 2]))))
