@@ -269,6 +269,26 @@ class _Walker:
                 {i: (alias, n) for i, n in col_by_id.items()})
             return {alias}
 
+        if c == "WithCTE":
+            # WithCTE(cteDefs..., plan): harvest the main plan; every
+            # table inside a CTE body is protected — the replay
+            # re-analyzes the full SQL, so a reduced shadow would
+            # substitute into the CTE definition and change its rows
+            kids = _jseq(node.children())
+            defs = [k for k in kids if _cls(k) == "CTERelationDef"]
+            mains = [k for k in kids if _cls(k) != "CTERelationDef"]
+            if len(mains) != 1:
+                raise _Unsupported("WithCTE shape")
+            for d in defs:
+                self._protect_plan(d)
+            return self.walk(mains[0])
+
+        if c == "CTERelationRef":
+            # opaque leaf: no instance, no edges through it; conjuncts
+            # touching its attributes simply fail to attach and are
+            # replayed by the query text
+            return set()
+
         if c == "Join":
             kids = _jseq(node.children())
             left_set = self.walk(kids[0])

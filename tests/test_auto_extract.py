@@ -226,3 +226,40 @@ def test_sql_auto_subquery_table_never_shadowed(eng):
     on = eng.sql(sql, config=FORCE)
     assert not eng.last_sql_rewritten
     assert _rows(on) == _rows(eng.sql(sql, auto_rpt=False))
+
+
+def test_sql_auto_cte_composes(eng):
+    """A CTE no longer aborts extraction: the main plan's join graph
+    still transfers while every table inside a CTE body is barred from
+    shadowing (the replay re-analyzes the CTE definition against the
+    shadow views)."""
+    sql = """
+        WITH cheap AS (
+          SELECT p_partkey AS pk FROM part WHERE p_retailprice < 1200
+        )
+        SELECT COUNT(*) AS cnt
+        FROM lineitem, orders, customer, cheap
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND l_partkey = pk AND c_acctbal > 0
+    """
+    on = eng.sql(sql, config=FORCE)
+    assert eng.last_sql_rewritten
+    assert _rows(on) == _rows(eng.sql(sql, auto_rpt=False))
+
+
+def test_sql_auto_cte_table_protected(eng):
+    """When the CTE body reads a table the outer query also joins, that
+    table is protected everywhere; with its edges gone this graph drops
+    to <=1 usable edge and extraction correctly declines."""
+    sql = """
+        WITH big AS (
+          SELECT o_orderkey AS bk FROM orders WHERE o_totalprice > 200000
+        )
+        SELECT COUNT(*) AS cnt
+        FROM lineitem, orders, customer, big
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND o_orderkey = bk AND c_acctbal > 0
+    """
+    on = eng.sql(sql, config=FORCE)
+    assert not eng.last_sql_rewritten
+    assert _rows(on) == _rows(eng.sql(sql, auto_rpt=False))

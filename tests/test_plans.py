@@ -129,17 +129,19 @@ def test_events_scan_prunes_props(spark, sf_dir):
 
 
 def test_multimodal_is_the_only_python_surface(spark, sf_dir):
-    """Python must appear in exactly ONE plan: the deliberately-stubbed
-    multimodal decode (mapInPandas). Everything else — including the
-    Bloom sketch tier, whose probe is now SQL bit tests — stays
-    JVM-side end to end."""
+    """Python must appear ONLY in the deliberately-stubbed multimodal
+    decode plans (mapInPandas; the portable variant is the same surface
+    with an oracle on the deterministic fake). Everything else —
+    including the Bloom sketch tier, whose probe is now SQL bit tests —
+    stays JVM-side end to end."""
     offenders = []
     for name, fn in QUERIES.items():
         plan = physical(fn(spark, sf_dir))
         if ("EvalPython" in plan or "MapInPandas" in plan
                 or "FlatMapGroupsInPandas" in plan):
             offenders.append(name)
-    assert sorted(offenders) == ["q_multimodal_features"], offenders
+    assert sorted(offenders) == [
+        "q_multimodal_features", "q_multimodal_features_portable"], offenders
 
 
 def test_catalyst_order_reads_physical_join_order(spark, sf_dir):
