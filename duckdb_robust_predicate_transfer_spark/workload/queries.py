@@ -781,6 +781,39 @@ def q_unnest_array(spark, sf_dir):
                     F.round(F.col("fval").cast("double"), 6).alias("val")))
 
 
+@query(
+    "q_pivot",
+    # dialect split: Spark's SQL PIVOT clause vs the universal
+    # conditional-aggregation spelling (CAST: DuckDB types SUM(CASE) as
+    # HUGEINT); empty pivot cells are NULL in Spark and 0 in the CASE
+    # form, so the Spark side coalesces
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS medium
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """PIVOT (wide conditional aggregation) through Spark's native SQL
+    PIVOT clause — an aggregate boundary for the transfer planner like
+    any other (rpt_optimizer.cpp:84-88)."""
+    return eng(spark, sf_dir).sql("""
+        SELECT o_orderstatus,
+               COALESCE(urgent, 0) AS urgent,
+               COALESCE(high, 0) AS high,
+               COALESCE(medium, 0) AS medium
+        FROM (SELECT o_orderstatus, o_orderpriority FROM orders)
+        PIVOT (COUNT(*) FOR o_orderpriority IN
+               ('1-URGENT' AS urgent, '2-HIGH' AS high,
+                '3-MEDIUM' AS medium))
+    """)
+
+
 # --------------------------------------------------------------------------
 # sort / limit / top-k
 # --------------------------------------------------------------------------

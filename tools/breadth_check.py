@@ -113,7 +113,14 @@ def connected_subsets():
 
 
 def build_query(tables: list, rng: random.Random) -> str:
-    frm, conds = ["lineitem"], []
+    frm, conds, cte = ["lineitem"], [], ""
+    # ~15% of statements join through a CTE (now tolerated by the
+    # extractor: the CTE's table is protected, the rest still rewrites)
+    if "part" not in tables and rng.random() < 0.15:
+        cte = ("WITH cheap AS (SELECT p_partkey AS cpk FROM part"
+               " WHERE p_retailprice < 1400)\n")
+        frm.append("cheap")
+        conds.append("l_partkey = cpk")
     for t in tables:
         if t == "lineitem":
             continue
@@ -175,7 +182,7 @@ def build_query(tables: list, rng: random.Random) -> str:
     # group by the qualified name — identical output schema both engines
     sel = ", ".join([(f"{g} AS {g.replace('.', '_')}" if "." in g else g)
                      for g in groups] + aggs)
-    sql = f"SELECT {sel}\nFROM {', '.join(frm)}"
+    sql = f"{cte}SELECT {sel}\nFROM {', '.join(frm)}"
     if conds:
         sql += "\nWHERE " + "\n  AND ".join(conds)
     if groups:
