@@ -1114,3 +1114,214 @@ def q_full_outer_join(spark, sf_dir):
     return j.agg(F.count(F.lit(1)).alias("n_rows"),
                  F.count("c_custkey").alias("n_with_cust"),
                  F.count("o_orderkey").alias("n_with_order"))
+
+
+# --------------------------------------------------------------------------
+# host-surface breadth (round 4b): DuckDB-dialect conveniences a reference
+# user relies on daily, re-expressed Spark-first.  Each is a window /
+# filter boundary for the transfer planner (rpt_optimizer.cpp:120-137).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "q_qualify",
+    # dialect split: DuckDB's QUALIFY clause filters on a window result
+    # post-windowing; Spark has no QUALIFY, the idiomatic spelling is
+    # window + filter + drop — identical semantics, one extra plan node
+    # that Catalyst collapses into the same Window/Filter physical pair.
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) <= 3
+    """,
+)
+def q_qualify(spark, sf_dir):
+    """Top-3 customers per nation via DuckDB's QUALIFY, Spark-side as
+    window + filter (deterministic: c_custkey tiebreak)."""
+    e = eng(spark, sf_dir)
+    w = (Window.partitionBy("c_nationkey")
+         .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
+    return (e.table("customer")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("c_custkey", "c_nationkey", "c_acctbal"))
+
+
+@query(
+    "q_distinct_on",
+    # dialect split: DuckDB's Postgres-style DISTINCT ON keeps the first
+    # row per key under the ORDER BY; Spark spells it row_number()=1.
+    oracle="""
+    SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey, c_acctbal
+    FROM customer
+    ORDER BY c_nationkey, c_acctbal DESC, c_custkey
+    """,
+)
+def q_distinct_on(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    w = (Window.partitionBy("c_nationkey")
+         .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
+    return (e.table("customer")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("c_nationkey", "c_custkey", "c_acctbal"))
+
+
+@query(
+    "q_sample_hash",
+    # Engine-native TABLESAMPLE is nondeterministic across engines, so
+    # the portable spelling is a content-hash gate: ~5% (13/256) of rows
+    # by the first md5 byte of the key.  This is also the 100 TB-safe
+    # sampling idiom — stateless, scan-local, reproducible across runs
+    # and engines, no seed coordination between executors.
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d'
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    e = eng(spark, sf_dir)
+    return (e.table("orders")
+            .filter(F.md5(F.col("o_orderkey").cast("string"))
+                    .substr(1, 2) < "0d")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+
+
+_WINDOW_NAV_BODY = """
+    SELECT o_orderkey, o_orderstatus,
+           FIRST_VALUE(o_orderkey) OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey) AS cheapest_key,
+           LAST_VALUE(o_orderkey) OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS priciest_key,
+           NTH_VALUE(o_orderkey, 2) OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS second_key,
+           ROUND(PERCENT_RANK() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey), 6) AS cume,
+           LEAD(o_orderkey, 1) OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY o_totalprice, o_orderkey) AS next_key
+    FROM orders
+    WHERE o_totalprice > 150000
+"""
+
+
+@query("q_window_navigation", oracle=_WINDOW_NAV_BODY)
+def q_window_navigation(spark, sf_dir):
+    """Navigation-function breadth: FIRST/LAST/NTH_VALUE need the full
+    frame spelled out (the SQL-standard default frame stops at CURRENT
+    ROW — same rule in both engines); PERCENT_RANK/CUME_DIST are exact
+    rationals over a total order, so they hash identically."""
+    return eng(spark, sf_dir).sql(_WINDOW_NAV_BODY)
+
+
+_GREATEST_BODY = """
+    SELECT p_partkey,
+           GREATEST(p_retailprice, 1000.0) AS price_floor,
+           LEAST(p_retailprice, 1500.0) AS price_cap,
+           CAST(GREATEST(p_size, 10) AS INT) AS size_floor,
+           CAST(LEAST(p_size, 25, 40) AS INT) AS size_cap
+    FROM part
+"""
+
+
+@query("q_greatest_least", oracle=_GREATEST_BODY)
+def q_greatest_least(spark, sf_dir):
+    return eng(spark, sf_dir).sql(_GREATEST_BODY)
+
+
+# --------------------------------------------------------------------------
+# sources / sinks, graded (round 4b): the reference inherits COPY TO /
+# read_csv / read_json from host DuckDB (SURVEY.md §0); here each format
+# round-trips through sources/io.py and is graded against the DuckDB
+# oracle reading the original Parquet — proving the Spark CSV/JSON codecs
+# and the partitioned-sink layout are lossless for the fixture types.
+# --------------------------------------------------------------------------
+
+
+def _scratch(sf_dir: str, leaf: str) -> str:
+    import os
+    import tempfile
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), "drpt_sources", tag, leaf)
+
+
+@query(
+    "q_csv_source",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer
+    """,
+)
+def q_csv_source(spark, sf_dir):
+    """CSV sink + source round-trip: write the customer table as
+    headered CSV, read it back with the EXPLICIT original schema (no
+    inference pass — at 100 TB inference is a full extra scan), grade
+    against DuckDB reading the original Parquet.  Doubles survive via
+    Spark's shortest-round-trip repr; quoting covers embedded commas."""
+    from ..sources import io
+    pq = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    path = _scratch(sf_dir, "customer_csv")
+    io.write_csv(pq, path)
+    return io.read_csv(spark, path, schema=pq.schema).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+@query(
+    "q_json_source",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    """,
+)
+def q_json_source(spark, sf_dir):
+    """JSON-lines sink + source round-trip on the supplier table,
+    schema-first read, graded against the Parquet original."""
+    from ..sources import io
+    pq = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    path = _scratch(sf_dir, "supplier_json")
+    io.write_json(pq, path)
+    return io.read_json(spark, path, schema=pq.schema).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@query(
+    "q_partitioned_sink",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_partitioned_sink(spark, sf_dir):
+    """Partitioned-Parquet sink + pruned re-scan: write orders
+    partitioned by o_orderstatus (the distributed analogue of the
+    reference's zone-map skipping), then aggregate one partition — the
+    read-back filter resolves as a PartitionFilter, touching 1 of 3
+    directories, which is what directory layout buys at 100 TB."""
+    from ..sources import io
+    pq = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = _scratch(sf_dir, "orders_by_status")
+    io.write_parquet(pq, path, partition_by=["o_orderstatus"])
+    return (spark.read.parquet(path)
+            .filter(F.col("o_orderstatus") == "F")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                 .cast("double").alias("total")))
