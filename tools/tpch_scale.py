@@ -1,0 +1,181 @@
+"""TPC-H breadth at 10x the driver's largest fixture (~60M lineitem).
+
+The 22 adapted TPC-H queries are graded at sf0.01 and locally swept at
+sf0.1; this certifies the SAME query texts (through ``Engine.sql()``
+auto-extraction + transfer) at one more order of magnitude, where the
+lineitem shuffle stops being trivially memory-resident:
+
+  1. fixture — DuckDB replicates sf0.1 lineitem+orders REP times with
+     disjoint order-key ranges (``SELECT * REPLACE (l_orderkey + off)``),
+     dims unchanged: FK-valid, deterministic, single parquet files both
+     engines read byte-identically.
+  2. correctness — tools/oracle_check.py (rowcount + columns + value
+     multiset + types) for all 22 queries against DuckDB ON THE SCALED
+     DATA, i.e. a full oracle check at 10x the graded scale.
+  3. timing — interleaved min-of-N legs per query: rewrite off /
+     rewrite on / Spark's native runtime bloom filter.
+
+Run:  python -u tools/tpch_scale.py [--json OUT] [--runs N] [--skip-oracle]
+Env:  DRPT_TPCH_SCALE_DIR (default /tmp/drpt_tpch_x10)
+      DRPT_TPCH_SCALE_REP (default 10)
+      DRPT_TPCH_SCALE_BASE (default /root/testdata/sf0.1)
+
+Exit 0 when the oracle check passes and every query ran in all legs.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("DRPT_TPCH_SCALE_BASE", "/root/testdata/sf0.1")
+SMALL = "/root/testdata/sf0.001"  # unused-by-TPC-H tables, view registration
+OUT_DIR = os.environ.get("DRPT_TPCH_SCALE_DIR", "/tmp/drpt_tpch_x10")
+REP = int(os.environ.get("DRPT_TPCH_SCALE_REP", 10))
+
+os.environ.setdefault("DRPT_DRIVER_MEM", "16g")
+
+TPCH = [f"q_tpch_q{i}" for i in range(1, 23)]
+
+
+def ensure_fixture() -> None:
+    import duckdb
+    marker = os.path.join(OUT_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    os.makedirs(OUT_DIR, exist_ok=True)
+    t0 = time.time()
+    con = duckdb.connect()
+    off_unit = con.sql(
+        f"SELECT MAX(o_orderkey) + 1 FROM '{BASE}/orders.parquet'"
+    ).fetchone()[0]
+    reps = f"(SELECT g * {off_unit} AS off FROM generate_series(0, {REP - 1}) t(g))"
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        con.sql(f"""
+            COPY (SELECT * REPLACE ({key} + i.off AS {key})
+                  FROM '{BASE}/{t}.parquet' CROSS JOIN {reps} i)
+            TO '{OUT_DIR}/{t}.parquet'
+            (FORMAT PARQUET, ROW_GROUP_SIZE 1048576)
+        """)
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copy(f"{BASE}/{t}.parquet", f"{OUT_DIR}/{t}.parquet")
+    for t in ("events", "documents", "embeddings"):  # view registration only
+        shutil.copy(f"{SMALL}/{t}.parquet", f"{OUT_DIR}/{t}.parquet")
+    n = con.sql(f"SELECT COUNT(*) FROM '{OUT_DIR}/lineitem.parquet'").fetchone()[0]
+    open(marker, "w").close()
+    print(f"# fixture: {n} lineitem rows in {time.time() - t0:.1f}s at {OUT_DIR}",
+          file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    out_json, runs, skip_oracle = None, 2, False
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--json":
+            out_json = argv[i + 1]; i += 2
+        elif argv[i] == "--runs":
+            runs = int(argv[i + 1]); i += 2
+        elif argv[i] == "--skip-oracle":
+            skip_oracle = True; i += 1
+        else:
+            i += 1
+
+    ensure_fixture()
+
+    oracle_ok = None
+    if not skip_oracle:
+        here = os.path.dirname(os.path.abspath(__file__))
+        r = subprocess.run(
+            [sys.executable, "-u", os.path.join(here, "oracle_check.py"),
+             OUT_DIR] + TPCH,
+            capture_output=True, text=True, timeout=3600)
+        tail = (r.stdout or "").strip().splitlines()
+        print("\n".join(tail[-3:]), file=sys.stderr, flush=True)
+        oracle_ok = r.returncode == 0
+
+    from duckdb_robust_predicate_transfer_spark.config import (
+        RPTConfig, set_default_config)
+    from duckdb_robust_predicate_transfer_spark.session import get_spark
+    from duckdb_robust_predicate_transfer_spark.workload import QUERIES
+
+    spark = get_spark(app_name="drpt-tpch-scale", shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    rf_conf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+
+    def leg(name: str, mode: str) -> float:
+        if mode == "off":
+            set_default_config(RPTConfig(enabled=False))
+        elif mode == "native":
+            set_default_config(RPTConfig(enabled=False))
+            spark.conf.set(rf_conf, "true")
+        else:
+            set_default_config(None)
+        try:
+            t = time.time()
+            QUERIES[name](spark, OUT_DIR).collect()
+            return time.time() - t
+        finally:
+            set_default_config(None)
+            spark.conf.set(rf_conf, "false")
+            spark.catalog.clearCache()
+
+    best: dict = {q: {m: math.inf for m in ("off", "rpt", "native")}
+                  for q in TPCH}
+    failed = []
+    leg(TPCH[0], "off")  # untimed warmup: page cache + codegen
+    for r_i in range(runs):
+        for q in TPCH:
+            if q in failed:
+                continue
+            try:
+                for mode in ("off", "rpt", "native"):
+                    best[q][mode] = min(best[q][mode], leg(q, mode))
+            except Exception as exc:  # record and move on; artifact lands
+                print(f"# FAIL {q}: {str(exc)[:200]}", file=sys.stderr,
+                      flush=True)
+                failed.append(q)
+        done = {q: round(v["rpt"], 2) for q, v in best.items()
+                if v["rpt"] < math.inf}
+        print(f"# run {r_i + 1}/{runs}: {len(done)}/22 rpt legs ok",
+              file=sys.stderr, flush=True)
+
+    ok_qs = [q for q in TPCH if q not in failed]
+
+    def geo(mode: str) -> float:
+        vals = [best[q][mode] for q in ok_qs]
+        return round(math.exp(sum(math.log(v) for v in vals) / len(vals)), 3)
+
+    summary = {
+        "suite": "tpch-scale",
+        "base": BASE,
+        "replication": REP,
+        "runs": runs,
+        "oracle_22_queries_ok": oracle_ok,
+        "queries_timed": len(ok_qs),
+        "failed": failed,
+        "geomean_sec": {m: geo(m) for m in ("off", "rpt", "native")},
+        "rpt_vs_off_geomean": round(geo("off") / geo("rpt"), 3),
+        "rpt_vs_native_geomean": round(geo("native") / geo("rpt"), 3),
+        "per_query_sec": {q: {m: (None if best[q][m] is math.inf
+                                  else round(best[q][m], 3))
+                              for m in ("off", "rpt", "native")}
+                          for q in TPCH},
+    }
+    print(json.dumps(summary), flush=True)
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(summary, f, indent=1)
+    spark.stop()
+    return 0 if (oracle_ok is not False and not failed) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
