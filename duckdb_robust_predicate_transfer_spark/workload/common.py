@@ -37,24 +37,33 @@ def eng(spark: SparkSession, sf_dir: str, config: RPTConfig | None = None) -> En
 
 
 def dsum(col: Column, alias: str) -> Column:
-    """Order-independent double sum via exact decimal accumulation."""
-    return F.sum(col.cast("decimal(18,4)")).cast("double").alias(alias)
+    """Order-independent double sum via exact decimal accumulation.
+
+    The sum is ROUNDed to 2 decimals (HALF_UP in both engines, verified
+    incl. negative halves) BEFORE the double cast: that keeps the
+    decimal's unscaled value under 2^53 up to ~9e13 totals, so the
+    decimal->double conversion is a single exact-input correctly-rounded
+    step in both engines. Without it, sums past ~9e9 (hit at 10x the
+    sf0.1 fixture) diverge in the 16th digit because each engine
+    double-rounds a >2^53 unscaled value differently."""
+    return F.round(F.sum(col.cast("decimal(18,4)")), 2).cast("double").alias(alias)
 
 
 def davg(col: Column, alias: str) -> Column:
-    """avg = exact decimal sum cast to double, divided by count (both
-    engines then do the same single IEEE division)."""
-    return (F.sum(col.cast("decimal(18,4)")).cast("double")
+    """avg = rounded exact decimal sum cast to double, divided by count
+    (both engines then do the same single IEEE division)."""
+    return (F.round(F.sum(col.cast("decimal(18,4)")), 2).cast("double")
             / F.count(col)).alias(alias)
 
 
 #: the same two helpers, SQL-side (DuckDB)
 def sql_dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+    return (f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,4))), 2) AS DOUBLE)"
+            f" AS {alias}")
 
 
 def sql_davg(expr: str, alias: str) -> str:
-    return (f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+    return (f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,4))), 2) AS DOUBLE)"
             f" / COUNT({expr}) AS {alias}")
 
 

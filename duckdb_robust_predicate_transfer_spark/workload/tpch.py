@@ -49,7 +49,12 @@ from .registry import query
 #: CAST(SUM(CAST(e AS DECIMAL)) AS DOUBLE) — order-independent on both
 #: engines (each term identical IEEE, accumulation exact).
 def _dsum(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+    # ROUND before the double cast: see workload/common.py dsum — keeps
+    # the decimal->double conversion exact-input (single rounding) in
+    # both engines up to ~9e13 totals (16th-digit divergence otherwise,
+    # first seen at 10x sf0.1 in tools/tpch_scale.py)
+    return (f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,4))), 2) AS DOUBLE)"
+            f" AS {alias}")
 
 
 def _declare(name: str, sql: str, doc: str) -> None:
@@ -68,13 +73,14 @@ _declare("q_tpch_q1", f"""
            {_dsum("l_quantity", "sum_qty")},
            {_dsum("l_extendedprice", "sum_base_price")},
            {_dsum(REVENUE, "sum_disc_price")},
-           CAST(SUM(CAST({REVENUE} * (1 + l_tax) AS DECIMAL(18,6)))
+           CAST(ROUND(SUM(CAST({REVENUE} * (1 + l_tax)
+                          AS DECIMAL(18,6))), 2)
              AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
              / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
-             / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+             AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
              / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
@@ -214,9 +220,9 @@ _declare("q_tpch_q7", f"""
 
 _declare("q_tpch_q8", f"""
     SELECT o_year,
-           CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume
-                              ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
-             / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume
+                              ELSE 0 END AS DECIMAL(18,4))), 2) AS DOUBLE)
+             / CAST(ROUND(SUM(CAST(volume AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS mkt_share
     FROM (
       SELECT extract(year FROM o_orderdate) AS o_year,
@@ -297,10 +303,10 @@ _declare("q_tpch_q13", """
      "o_orderpriority: no o_comment column).")
 
 _declare("q_tpch_q14", f"""
-    SELECT CAST(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN {REVENUE}
-                              ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE)
+    SELECT CAST(ROUND(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN {REVENUE}
+                              ELSE 0 END AS DECIMAL(18,4))), 2) AS DOUBLE)
              * 100.0
-             / CAST(SUM(CAST({REVENUE} AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(ROUND(SUM(CAST({REVENUE} AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
@@ -338,7 +344,8 @@ _declare("q_tpch_q16", """
      "partsupp table).")
 
 _declare("q_tpch_q17", """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+             AS DOUBLE)
              / 7.0 AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
@@ -351,8 +358,8 @@ _declare("q_tpch_q17", """
 
 _declare("q_tpch_q18", """
     SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-             AS sum_qty
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2)
+             AS DOUBLE) AS sum_qty
     FROM customer, orders, lineitem
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem
@@ -417,7 +424,8 @@ _declare("q_tpch_q21", """
 
 _declare("q_tpch_q22", """
     SELECT cntrycode, COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2)
+             AS DOUBLE)
              AS totacctbal
     FROM (
       SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode, c_acctbal
