@@ -75,6 +75,16 @@ class RPTConfig:
     #: broadcast the distinct key-set when its estimated rows are below this
     #: (otherwise let AQE decide)
     broadcast_key_rows: int = 2_000_000
+    #: shuffle-tier ops (build keys too big to broadcast) only run when
+    #: the build side is genuinely selective: estimated/observed build
+    #: rows below this fraction of the build's raw footer rows. A build
+    #: still holding most of its base table can only remove a minority
+    #: of probe rows, which a distinct-key shuffle + shuffled semi join
+    #: + eager min/max job cannot repay (measured at TPCH_SCALE 100x:
+    #: the orders->lineitem backward hop removed 0.00% for ~8 s).
+    #: Broadcast-tier ops are exempt — they ride the probe's scan stage
+    #: for free, like the reference's in-process filters. 1.0 disables.
+    max_build_keep_frac: float = 0.5
     #: feed the transfer's size knowledge back into the HOST join:
     #: join_all broadcast-hints any non-anchor relation whose final
     #: estimated/observed rows are at or below this. Catalyst's static
@@ -103,6 +113,18 @@ class RPTConfig:
     #: reducing a big one avoids a large shuffle/hash build. The forward
     #: cascade is exempt — it feeds reductions upward and is lazy/cheap.
     backward_min_probe_rows: int = 1_000_000
+    #: backward-pass ops only with broadcast-tier builds (keys ride the
+    #: probe's scan for free). A shuffle-tier backward hop re-derives the
+    #: root's multi-million-row reduced lineage (persist + distinct-key
+    #: shuffle) to shrink a probe the forward pass already fed into the
+    #: root — pure cost unless the probe's own final-join shuffle
+    #: dominates, which on a 60M-row local fixture it never does
+    #: (TPCH_SCALE 100x: Q9's backward hop removed a genuine 60% of
+    #: orders yet cost 2x the whole rewrite-off query). At cluster scale
+    #: flip this off for shuffle-bound probes; the certified cascade wins
+    #: (CASCADE_BIG/BUCKETED) come from the forward pass and survive the
+    #: default.
+    backward_broadcast_only: bool = True
     #: persist reduced tables that both feed a key-set and the final join
     persist_reduced: bool = True
     #: ...but only when the reduced build side is big enough that

@@ -220,6 +220,7 @@ class Engine:
         nodes: list = []
         filtered: set = set()
         rows_est: dict = {}
+        rows_base: dict = {}
         paths: dict = {}
         colocated: dict = {}
         for alias, spec in rels.items():
@@ -244,6 +245,10 @@ class Engine:
                 base_rows *= FILTER_SELECTIVITY
             dfs[alias] = df
             rows_est[alias] = base_rows
+            # raw footer rows (no filter-selectivity guess): the
+            # shuffle-tier selectivity gate's denominator
+            rows_base[alias] = (base_rows / FILTER_SELECTIVITY
+                                if alias in filtered else base_rows)
             if spec.colocated_on:
                 colocated[alias] = frozenset(spec.colocated_on)
             nodes.append(TableNode(alias=alias, rows=base_rows,
@@ -325,7 +330,8 @@ class Engine:
         planning_ms = (_time.perf_counter() - t_plan) * 1e3
 
         res = apply_transfer(dfs, rows_est, filtered, plan, cfg,
-                             probe_paths=paths, colocated=colocated)
+                             probe_paths=paths, colocated=colocated,
+                             rows_base=rows_base)
         res.planning_ms = planning_ms
         if cfg.profiling:
             # the reference prints its per-op summary at QueryEnd when

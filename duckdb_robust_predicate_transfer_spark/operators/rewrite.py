@@ -202,14 +202,16 @@ def _range_pred(build_ranges: dict, op: TransferOp,
 def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                    plan: TransferPlan, cfg: RPTConfig,
                    probe_paths: dict | None = None,
-                   colocated: dict | None = None) -> TransferResult:
+                   colocated: dict | None = None,
+                   rows_base: dict | None = None) -> TransferResult:
     """Execute the schedule over ``dfs`` (alias -> DataFrame), mutating a
     copy; returns reduced DataFrames plus optional per-step stats.
     ``probe_paths`` (alias -> parquet path) enables footer-range-aware
     min/max skipping for base-table probes. ``colocated``
     (alias -> frozenset of bucket columns) marks relations whose join on
     those columns is already exchange-free — transfer along such an edge
-    is skipped (Rel.colocated_on)."""
+    is skipped (Rel.colocated_on). ``rows_base`` (alias -> raw footer
+    rows, no filter guesses) feeds the shuffle-tier selectivity gate."""
     probe_paths = probe_paths or {}
     colocated = colocated or {}
     dfs = dict(dfs)
@@ -237,9 +239,33 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         colsets.setdefault(op.build, set()).add(op.build_cols)
     multi_filter_builds = {b for b, cs in colsets.items() if len(cs) > 1}
 
+    #: alias -> set of aliases whose base filters have influenced it via
+    #: applied ops (itself included when base-filtered). An op only
+    #: carries NEW information when the build knows something the probe
+    #: doesn't — otherwise it is a provable no-op: e.g. after forward
+    #: lineitem->orders, the backward orders->lineitem hop removes
+    #: exactly 0 rows (every kept lineitem orderkey is, by construction,
+    #: in the kept orders), yet costs a full pass over the fact's
+    #: lineage (measured 0.00% removed for ~10 s at TPCH_SCALE 100x).
+    #: The reference schedules such ops too, but its in-process filters
+    #: are ~free; Spark's cost real jobs, so provable no-ops must die.
+    #: (Pure FK-orphan removal is intentionally not modeled as
+    #: information — that is gate 1's require_selective_build.)
+    #: identity counts as information only when FK-orphan-removal ops
+    #: are enabled (require_selective_build=False, the reference's
+    #: always-transfer mode): an unfiltered build can then still remove
+    #: probe rows with no matching build row at all.
+    info: dict = {a: ({a} if (a in filtered
+                              or not cfg.require_selective_build)
+                      else set()) for a in dfs}
+
     for op in plan.ops:
         build, probe = dfs[op.build], dfs[op.probe]
         est = rows_est.get(op.build, float("inf"))
+
+        # 0. information gate: skip ops that provably cannot remove rows
+        if not (info[op.build] - info[op.probe] - {op.probe}):
+            continue
 
         # bounded-downside gates — the robustness margin the reference
         # lacks (it always applies when >1 edge; its in-process filters
@@ -250,14 +276,59 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 and (cfg.require_selective_build
                      or est > cfg.max_unfiltered_build_rows)):
             continue
-        # 2. transfer only into probes big enough to repay an exchange
-        if rows_est.get(op.probe, float("inf")) < cfg.min_probe_rows:
+        # 2. transfer only into probes big enough to repay an exchange —
+        #    but ONLY for shuffle-tier builds. A broadcast-tier build
+        #    (est <= broadcast_key_rows) costs no exchange at all: the
+        #    semi join rides the probe's own scan stage as a broadcast
+        #    hash join, exactly like the reference's free in-process
+        #    filters. Skipping those breaks the CASCADE: an unreduced
+        #    tiny dim (supplier, customer) then fails gate 1 as a build
+        #    side and its parent's selective filter (the nation gate in
+        #    TPC-H Q5/Q7/Q8/Q9) never reaches the fact tables — measured
+        #    at TPCH_SCALE 100x as the whole rpt-leg regression.
+        if (est > cfg.broadcast_key_rows
+                and rows_est.get(op.probe, float("inf"))
+                < cfg.min_probe_rows):
             continue
+        # 2b. shuffle-tier builds must also be SELECTIVE: the op costs a
+        #     distinct-key shuffle + a shuffled semi join + (big probes)
+        #     an eager min/max job, so a build side still holding most
+        #     of its base table can only remove a minority of probe rows
+        #     — bounded downside says skip it. Broadcast-tier builds are
+        #     exempt (free), as is any build with no footer baseline.
+        if (est > cfg.broadcast_key_rows and rows_base is not None):
+            base = rows_base.get(op.build, 0.0)
+            if base > 0 and est >= cfg.max_build_keep_frac * base:
+                continue
         # 3. backward ops need an even bigger probe: the forward pass
         #    already reduced the root, so the marginal win is smaller
         if (op.phase == "backward"
                 and rows_est.get(op.probe, float("inf"))
                 < cfg.backward_min_probe_rows):
+            continue
+        # 3a. shuffle-tier backward hops are opt-in (see config docstring)
+        if (op.phase == "backward" and cfg.backward_broadcast_only
+                and est > cfg.broadcast_key_rows):
+            continue
+        # 3b. benefit gate: a probe whose reduced size already fits the
+        #     host broadcast hint will be BROADCAST in the final join —
+        #     reducing it further cannot convert row savings into
+        #     shuffle savings (it only trims a hash table the host
+        #     builds once), while the backward key-set re-derives the
+        #     root's reduced lineage: a full extra pass over the
+        #     biggest table. The forward cascade is exempt — its
+        #     reductions feed the NEXT hop's build regardless of how
+        #     the final join consumes the probe. Scale-adaptive via the
+        #     min/max jobs' observed-rows feedback (rows_est is the
+        #     measured count once a relation has served as a build
+        #     side): at cluster scale a still-huge probe stays above
+        #     the bar and the backward pass engages. Measured at
+        #     TPCH_SCALE 100x: Q7 rpt 10.6s -> 4.2s with the backward
+        #     legs' broadcastable probes skipped, no cascade-fixture
+        #     regression (the cascade's backward ops target facts).
+        if (op.phase == "backward" and cfg.host_broadcast_rows
+                and rows_est.get(op.probe, float("inf"))
+                <= cfg.host_broadcast_rows):
             continue
         # 4. both endpoints declared bucketed on this edge's keys: the
         #    join is already exchange-free, and transfer along it only
@@ -279,6 +350,9 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         # here: the bloom aggregation needs only the key columns, so a
         # column-pruned recompute of the reduction lineage beats
         # materializing the build's full (wide) row payload.
+        sketch_tier = (cfg.filter_type in ("all", "bf_only")
+                       and cfg.use_sketch
+                       and est > cfg.sketch_threshold_rows)
         if (cfg.persist_reduced and op.build in reduced
                 and (est >= cfg.persist_min_rows
                      or op.build in multi_filter_builds)
@@ -293,11 +367,16 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         # filters are free in-process; ours cost a Spark job)
         probe_est = rows_est.get(op.probe, float("inf"))
         empty = False
-        sketch_tier = (cfg.filter_type in ("all", "bf_only")
-                       and cfg.use_sketch
-                       and est > cfg.sketch_threshold_rows)
+        # ... and only from broadcast-tier builds (unless minmax_only is
+        # forced): a shuffle-tier build's eager agg re-derives a
+        # multi-million-row lineage for a range that, on hash-uniform
+        # FKs, never narrows the probe footer anyway (measured at
+        # TPCH_SCALE 100x: 3.6 s agg, predicate dropped by the footer
+        # skip, zero pruning). Builds that carry range-correlated
+        # filters are precisely the small, already-reduced ones.
         want_minmax = (cfg.filter_type in ("all", "minmax_only")
-                       and (probe_est >= cfg.minmax_min_probe_rows
+                       and ((probe_est >= cfg.minmax_min_probe_rows
+                             and est <= cfg.broadcast_key_rows)
                             or cfg.filter_type == "minmax_only"))
         if want_minmax and not sketch_tier:
             t0 = time.perf_counter()
@@ -312,8 +391,12 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             # persist time ... a place we can beat the reference"): the
             # agg just measured this relation exactly, so every later
             # gate/broadcast/persist decision involving it uses the
-            # observed size instead of a decayed footer guess
+            # observed size instead of a decayed footer guess — including
+            # THIS op's own key-set tier choice below (a decayed estimate
+            # that undershot a genuinely huge build must not force a
+            # driver-side broadcast of its keys)
             rows_est[op.build] = float(n)
+            est = float(n)
             if n == 0:
                 dfs[op.probe] = probe.where(F.lit(False))
                 empty = True
@@ -351,6 +434,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 dfs[op.probe] = probe_bloom(probe, list(op.probe_cols),
                                             bloom)
             reduced.add(op.probe)
+            info[op.probe] |= info[op.build]
             epochs[op.probe] = epochs.get(op.probe, 0) + 1
             if op.probe in rows_est:
                 rows_est[op.probe] *= REDUCTION_DECAY
@@ -391,6 +475,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             dfs[op.probe] = probe.join(keys, cond, "left_semi")
 
         reduced.add(op.probe)
+        info[op.probe] |= info[op.build]
         epochs[op.probe] = epochs.get(op.probe, 0) + 1
         if op.probe in rows_est:
             rows_est[op.probe] *= REDUCTION_DECAY

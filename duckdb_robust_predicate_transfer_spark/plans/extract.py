@@ -108,6 +108,12 @@ def _conjuncts(expr) -> list:
     return [expr]
 
 
+def _disjuncts(expr) -> list:
+    if _cls(expr) == "Or":
+        return _disjuncts(expr.left()) + _disjuncts(expr.right())
+    return [expr]
+
+
 def _scan_expr(expr, attr_ids: list) -> None:
     """Collect AttributeReference exprIds; reject subquery expressions.
     (Strict form — used where a subquery can never be tolerated, e.g.
@@ -247,6 +253,51 @@ class _Walker:
             inst = self.instances.get(alias)
             if inst is not None and all(i in self.id_map for i in ids):
                 inst.filters.append(conjunct.sql())
+        elif len(owners) > 1 and _cls(conjunct) == "Or":
+            self._imply_from_or(conjunct)
+
+    def _imply_from_or(self, conjunct) -> None:
+        """Predicate move-around for cross-instance disjunctions — the
+        host-optimizer trick the reference inherits from DuckDB.
+
+        ``(n1.a=X AND n2.a=Y) OR (n1.a=Y AND n2.a=X)`` (TPC-H Q7/Q19
+        shape) constrains NEITHER table as a single-owner conjunct, so
+        without this the dims stay unfiltered, the transfer cascade has
+        no selective source, and gate 1 skips everything (measured at
+        TPCH_SCALE 100x: the whole Q7 rpt regression). For each alias
+        that every disjunct constrains, the OR of its per-disjunct atoms
+        is a LOGICALLY IMPLIED local filter: a row failing it fails
+        every disjunct, hence the original predicate — which the replay
+        re-applies verbatim anyway, so adding the implication to the
+        shadow view is sound by construction."""
+        if not conjunct.deterministic():
+            return
+        per: list = []        # per-disjunct: alias -> [atom SQL]
+        seen: set = set()
+        for d in _disjuncts(conjunct):
+            owned: dict = {}
+            for atom in _conjuncts(d):
+                ids: list = []
+                flags: list = []
+                self._scan_tolerant(atom, ids, flags)
+                if flags:
+                    return  # subquery inside the OR: no implication
+                owners = {self.id_map[i][0] for i in ids
+                          if i in self.id_map}
+                if (len(owners) == 1 and ids
+                        and all(i in self.id_map for i in ids)
+                        and atom.deterministic()):
+                    owned.setdefault(owners.pop(), []).append(atom.sql())
+            per.append(owned)
+            seen |= set(owned)
+        for alias in seen:
+            if all(alias in owned for owned in per):
+                inst = self.instances.get(alias)
+                if inst is not None:
+                    branches = [" AND ".join(f"({s})" for s in owned[alias])
+                                for owned in per]
+                    inst.filters.append(
+                        " OR ".join(f"({b})" for b in branches))
 
     def _single_attach(self, conjunct) -> None:
         """EqualTo within one instance is a local filter, not an edge."""

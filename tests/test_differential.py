@@ -29,7 +29,9 @@ STAR_EDGES = [
 #: so the full cascade is exercised even on sf0.001's tiny tables
 FORCE = dict(min_probe_rows=0, require_selective_build=False,
              backward_min_probe_rows=0, minmax_min_probe_rows=0,
-             persist_min_rows=0, all_broadcast_bail_rows=0)
+             persist_min_rows=0, all_broadcast_bail_rows=0,
+             backward_broadcast_only=False, max_build_keep_frac=1.0,
+             host_broadcast_rows=0)
 
 CONFIGS = [
     RPTConfig(enabled=False),

@@ -101,10 +101,11 @@ def main() -> int:
         print("\n".join(tail[-3:]), file=sys.stderr, flush=True)
         oracle_ok = r.returncode == 0
 
-    from duckdb_robust_predicate_transfer_spark.config import (
-        RPTConfig, set_default_config)
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
     from duckdb_robust_predicate_transfer_spark.session import get_spark
     from duckdb_robust_predicate_transfer_spark.workload import QUERIES
+    from duckdb_robust_predicate_transfer_spark.workload.common import (
+        set_default_config)
 
     spark = get_spark(app_name="drpt-tpch-scale", shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
