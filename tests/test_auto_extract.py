@@ -265,3 +265,58 @@ def test_sql_auto_cte_table_protected(eng):
     on = eng.sql(sql, config=FORCE)
     assert not eng.last_sql_rewritten
     assert _rows(on) == _rows(eng.sql(sql, auto_rpt=False))
+
+
+Q7_SHAPE_SQL = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           COUNT(*) AS cnt
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY n1.n_name, n2.n_name
+"""
+
+
+def test_implied_predicates_from_cross_table_or(eng):
+    """Predicate move-around (TPC-H Q7 shape): the disjunction
+    constrains BOTH nation instances in every branch, so each gets a
+    sound implied local filter — without it neither dim is 'filtered'
+    and the transfer cascade has no selective source (the measured
+    whole-query regression at TPCH_SCALE 100x)."""
+    df = eng.sql(Q7_SHAPE_SQL, auto_rpt=False)
+    ext = extract_join_graph(df, KNOWN)
+    assert ext is not None
+    for alias in ("n1", "n2"):
+        filt = " ".join(ext.instances[alias].filters)
+        assert "NATION_1" in filt and "NATION_2" in filt, (alias, filt)
+        assert " OR " in filt, (alias, filt)
+    # single-owner branches only: no other instance got the implication
+    for alias in ("supplier", "customer", "lineitem", "orders"):
+        assert not ext.instances[alias].filters, alias
+
+
+def test_implied_predicate_partial_branch_bails(eng):
+    """A disjunct that does NOT constrain the alias kills the
+    implication for it (OR of branches would not be implied)."""
+    sql = """
+        SELECT COUNT(*) AS cnt
+        FROM nation n1 JOIN nation n2 ON n1.n_regionkey = n2.n_regionkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n2.n_name = 'NATION_3'))
+    """
+    df = eng.sql(sql, auto_rpt=False)
+    ext = extract_join_graph(df, KNOWN)
+    assert ext is not None
+    assert not ext.instances["n1"].filters          # n1 missing in branch 2
+    filt = " ".join(ext.instances["n2"].filters)    # n2 in every branch
+    assert "NATION_2" in filt and "NATION_3" in filt
+
+
+def test_q7_shape_rewrite_matches_off(eng, spark, sf_dir):
+    off = Engine(spark, sf_dir, RPTConfig(enabled=False))
+    assert _rows(eng.sql(Q7_SHAPE_SQL)) == _rows(off.sql(Q7_SHAPE_SQL))

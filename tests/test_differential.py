@@ -232,3 +232,54 @@ def test_colocated_edge_skips_transfer(spark, sf_dir):
     assert ("l", "o") not in edges_without
     # the c<->o edge is unaffected by the l<->o colocation
     assert any("c" in e for e in edges_without)
+
+
+def test_provable_noop_ops_skipped(spark, sf_dir):
+    """Information-source tracking: on c(filtered) -> o -> l, the
+    backward hops carry no information the probes lack (l and o learned
+    everything they know THROUGH those same edges), so they are
+    provable no-ops and must not execute — at 100x scale one such hop
+    cost 2x the whole rewrite-off query while removing 0 rows. The
+    forward cascade must still run, and results must equal the off
+    leg."""
+    gates_off = dict(min_probe_rows=0, backward_min_probe_rows=0,
+                     minmax_min_probe_rows=0, persist_min_rows=0,
+                     all_broadcast_bail_rows=0,
+                     backward_broadcast_only=False,
+                     max_build_keep_frac=1.0, host_broadcast_rows=0)
+    rels = {"c": Rel("customer", "c_acctbal > 5000"),
+            "o": "orders", "l": "lineitem"}
+    edges = [("o", "c", "o_custkey", "c_custkey"),
+             ("l", "o", "l_orderkey", "o_orderkey")]
+
+    e = Engine(spark, sf_dir, RPTConfig(profiling=True, **gates_off))
+    r = e.reduce_and_join(dict(rels), list(edges))
+    executed = {(s.op.phase, s.op.build, s.op.probe)
+                for s in e.last_result.stats}
+    assert ("forward", "c", "o") in executed
+    assert ("forward", "o", "l") in executed
+    assert not any(p == "backward" for p, _, _ in executed), executed
+
+    off = Engine(spark, sf_dir, RPTConfig(enabled=False))
+    r2 = off.reduce_and_join(dict(rels), list(edges))
+    cols = ["l_orderkey", "l_linenumber", "c_custkey"]
+    assert (sorted(map(tuple, r.select(*cols).collect()))
+            == sorted(map(tuple, r2.select(*cols).collect())))
+
+
+def test_broadcast_tier_bypasses_probe_size_gate(spark, sf_dir):
+    """A broadcast-tier build's semi join rides the probe's scan stage
+    (no exchange), so min_probe_rows must NOT skip it: severing these
+    free hops cuts the selective cascade off at the dims (the measured
+    TPCH_SCALE 100x regression). Here the probe is far below the gate
+    yet the op must still execute."""
+    e = Engine(spark, sf_dir, RPTConfig(
+        profiling=True, min_probe_rows=10**9,
+        all_broadcast_bail_rows=0, host_broadcast_rows=0))
+    e.reduce({"c": "customer", "n": "nation",
+              "rg": Rel("region", "r_name = 'ASIA'")},
+             [("c", "n", "c_nationkey", "n_nationkey"),
+              ("n", "rg", "n_regionkey", "r_regionkey")])
+    executed = {(s.op.build, s.op.probe) for s in e.last_result.stats}
+    assert ("rg", "n") in executed, executed
+    assert ("n", "c") in executed, executed
