@@ -103,38 +103,45 @@ def main():
         # hit every mode equally: baseline OFF, our rewrite ON, and
         # Catalyst's own one-hop runtime bloom filter (InjectRuntimeFilter,
         # creation-side-only — SURVEY.md section 4), the built-in
-        # yardstick our multi-hop schedule must at least match
-        rf_conf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        # yardstick our multi-hop schedule must at least match. The
+        # native leg lowers Spark's 10GB application-side scan gate so
+        # the rule actually fires at fixture sizes (set_native_rf), and
+        # the leg order rotates per iteration so no mode always pays the
+        # first-leg codegen/page-cache warmup.
+        from duckdb_robust_predicate_transfer_spark.workload.common import (
+            set_native_rf)
         with_native = os.environ.get("BENCH_NATIVE_RF", "1") != "0"
         try:
             speedup, native = {}, {}
             for name in rpt_queries:
                 try:
-                    best_off = best_on = best_n = math.inf
-                    for _ in range(max(runs, 3)):
-                        set_default_config(RPTConfig(enabled=False))
+                    best = {"off": math.inf, "on": math.inf,
+                            "nat": math.inf}
+
+                    def abl_leg(mode: str) -> float:
+                        set_default_config(None if mode == "on"
+                                           else RPTConfig(enabled=False))
+                        set_native_rf(spark, mode == "nat")
                         t0 = time.time()
                         force(QUERIES[name](spark, sf_dir))
-                        best_off = min(best_off, time.time() - t0)
+                        dt = time.time() - t0
+                        set_native_rf(spark, False)
                         set_default_config(None)
-                        t0 = time.time()
-                        force(QUERIES[name](spark, sf_dir))
-                        best_on = min(best_on, time.time() - t0)
-                        if with_native:
-                            set_default_config(RPTConfig(enabled=False))
-                            spark.conf.set(rf_conf, "true")
-                            t0 = time.time()
-                            force(QUERIES[name](spark, sf_dir))
-                            best_n = min(best_n, time.time() - t0)
-                            spark.conf.set(rf_conf, "false")
-                            set_default_config(None)
-                    times[name] = min(times[name], round(best_on, 3))
-                    speedup[name] = round(best_off / max(best_on, 1e-3), 3)
+                        return dt
+
+                    modes = ["off", "on"] + (["nat"] if with_native else [])
+                    for it in range(max(runs, 3)):
+                        rot = it % len(modes)
+                        for mode in modes[rot:] + modes[:rot]:
+                            best[mode] = min(best[mode], abl_leg(mode))
+                    times[name] = min(times[name], round(best["on"], 3))
+                    speedup[name] = round(
+                        best["off"] / max(best["on"], 1e-3), 3)
                     if with_native:
-                        native[name] = round(best_n, 3)
+                        native[name] = round(best["nat"], 3)
                 except Exception as exc:  # noqa: BLE001
                     _err_line(f"ablation:{name}", exc)
-                    spark.conf.set(rf_conf, "false")
+                    set_native_rf(spark, False)
                     set_default_config(None)
                 spark.catalog.clearCache()
             if speedup:
@@ -149,7 +156,7 @@ def main():
                     sum(math.log(max(native[q] / max(times[q], 1e-3), 1e-3))
                         for q in native) / len(native)), 3)
         finally:
-            spark.conf.set(rf_conf, "false")
+            set_native_rf(spark, False)
             set_default_config(None)
 
     try:
@@ -185,32 +192,33 @@ def _cascade_section(spark, runs: int, extra: dict) -> None:
         # interleaved min-of-N protocol as the ablation legs.
         from duckdb_robust_predicate_transfer_spark.config import RPTConfig
         from duckdb_robust_predicate_transfer_spark.workload import cascade
+        from duckdb_robust_predicate_transfer_spark.workload.common import (
+            set_native_rf)
 
-        rf_conf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
         fdir = cascade.ensure_fixture(spark)
         off_cfg = RPTConfig(enabled=False)
 
         def cascade_leg(cfg, rf: bool) -> float:
-            spark.conf.set(rf_conf, "true" if rf else "false")
+            # native leg via set_native_rf: lowers the 10GB scan gate so
+            # InjectRuntimeFilter fires at fixture sizes
+            set_native_rf(spark, rf)
             t0 = time.time()
             force(cascade.run_cascade(spark, fdir, cfg))
             dt = time.time() - t0
-            spark.conf.set(rf_conf, "false")
+            set_native_rf(spark, False)
             # legs must not see each other's persisted build sides
             spark.catalog.clearCache()
             return dt
 
         cascade_leg(off_cfg, False)  # untimed: page cache + codegen warmup
-        best = {"off": math.inf, "rpt": math.inf, "rpt_sketch": math.inf,
-                "native_rf": math.inf}
-        for _ in range(max(runs, 3)):
-            best["off"] = min(best["off"], cascade_leg(off_cfg, False))
-            best["rpt"] = min(best["rpt"], cascade_leg(None, False))
-            best["rpt_sketch"] = min(
-                best["rpt_sketch"],
-                cascade_leg(cascade.CASCADE_SKETCH_CONFIG, False))
-            best["native_rf"] = min(best["native_rf"],
-                                    cascade_leg(off_cfg, True))
+        legs = [("off", off_cfg, False), ("rpt", None, False),
+                ("rpt_sketch", cascade.CASCADE_SKETCH_CONFIG, False),
+                ("native_rf", off_cfg, True)]
+        best = {k: math.inf for k, _, _ in legs}
+        for it in range(max(runs, 3)):
+            rot = it % len(legs)  # rotate: no leg always pays warmup
+            for key, cfg, rf in legs[rot:] + legs[:rot]:
+                best[key] = min(best[key], cascade_leg(cfg, rf))
         extra["cascade"] = {
             "fact_rows": cascade.FACT_ROWS,
             "mid_rows": cascade.MID_ROWS,

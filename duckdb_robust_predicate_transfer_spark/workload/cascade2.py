@@ -132,16 +132,19 @@ def main() -> int:
 
     spark = get_spark(app_name="drpt-cascade2")
     spark.sparkContext.setLogLevel("ERROR")
+    from .common import set_native_rf
+
     fdir = ensure_fixture(spark)
     off_cfg = RPTConfig(enabled=False)
-    rf_conf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
 
     def leg(cfg, rf=False) -> float:
-        spark.conf.set(rf_conf, "true" if rf else "false")
+        # set_native_rf lowers Spark's 10GB application-side scan gate so
+        # InjectRuntimeFilter actually fires at this fixture size
+        set_native_rf(spark, rf)
         t0 = time.time()
         run_cascade2(spark, fdir, cfg).write.format("noop") \
             .mode("overwrite").save()
-        spark.conf.set(rf_conf, "false")
+        set_native_rf(spark, False)
         # legs must not see each other's persisted build sides
         spark.catalog.clearCache()
         return time.time() - t0
@@ -152,13 +155,13 @@ def main() -> int:
     # knob for exactly this workload shape — report both.
     bf_cfg = CASCADE2_CONFIG.with_(filter_type="bf_only")
     leg(off_cfg)  # warmup
-    best = {"off": math.inf, "rpt": math.inf, "rpt_bf_only": math.inf,
-            "native_rf": math.inf}
-    for _ in range(3):
-        best["off"] = min(best["off"], leg(off_cfg))
-        best["rpt"] = min(best["rpt"], leg(None))
-        best["rpt_bf_only"] = min(best["rpt_bf_only"], leg(bf_cfg))
-        best["native_rf"] = min(best["native_rf"], leg(off_cfg, rf=True))
+    legs = [("off", off_cfg, False), ("rpt", None, False),
+            ("rpt_bf_only", bf_cfg, False), ("native_rf", off_cfg, True)]
+    best = {k: math.inf for k, _, _ in legs}
+    for it in range(4):
+        rot = it % len(legs)  # rotate: no leg always pays warmup
+        for key, cfg, rf in legs[rot:] + legs[:rot]:
+            best[key] = min(best[key], leg(cfg, rf))
 
     # correctness: rpt == off row-for-row
     on_rows = sorted(map(tuple, run_cascade2(spark, fdir).collect()))

@@ -67,6 +67,45 @@ def sql_davg(expr: str, alias: str) -> str:
             f" / COUNT({expr}) AS {alias}")
 
 
+#: Spark's native one-hop runtime bloom filter (InjectRuntimeFilter) —
+#: the built-in yardstick our multi-hop transfer is benchmarked against.
+#: Its *default* gates target cluster scale: the application side's scan
+#: must exceed spark.sql.optimizer.runtime.bloomFilter
+#: .applicationSideScanSizeThreshold = 10GB before a bloom is even
+#: considered, so on local fixtures (<=4GB scans) the rule injects
+#: NOTHING and a "native" leg silently times the plain off plan
+#: (verified: optimizedPlan contains zero might_contain at defaults on
+#: the x100 TPC-H and cascade fixtures). Benchmark legs therefore lower
+#: the scan gate and widen the creation-side cap so the native tier
+#: genuinely engages — emulating the >=10GB-per-scan regime the
+#: defaults assume — and restore the defaults when switching off.
+_RF_ENABLED = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+_RF_APP_GATE = ("spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold")
+_RF_CREATE_GATE = ("spark.sql.optimizer.runtime.bloomFilter."
+                   "creationSideThreshold")
+
+
+def set_native_rf(spark: SparkSession, on: bool) -> None:
+    """Toggle Spark's native runtime bloom filters for a benchmark leg,
+    with thresholds that let them fire at local fixture sizes."""
+    if on:
+        spark.conf.set(_RF_ENABLED, "true")
+        spark.conf.set(_RF_APP_GATE, "64MB")
+        spark.conf.set(_RF_CREATE_GATE, "1GB")
+    else:
+        spark.conf.set(_RF_ENABLED, "false")
+        spark.conf.unset(_RF_APP_GATE)
+        spark.conf.unset(_RF_CREATE_GATE)
+
+
+def count_native_blooms(df) -> int:
+    """Number of native runtime bloom probes (might_contain) in the
+    optimized logical plan — plan-shape evidence for bench artifacts."""
+    return df._jdf.queryExecution().optimizedPlan().toString().count(
+        "might_contain")
+
+
 REVENUE = "l_extendedprice * (1 - l_discount)"
 
 

@@ -72,27 +72,31 @@ def main() -> int:
     print(f"# fixture ready in {gen_s}s at {fdir}", file=sys.stderr,
           flush=True)
 
-    rf_conf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    from duckdb_robust_predicate_transfer_spark.workload.common import (
+        set_native_rf)
     off_cfg = RPTConfig(enabled=False)
 
     def leg(cfg, rf: bool) -> float:
-        spark.conf.set(rf_conf, "true" if rf else "false")
+        # set_native_rf lowers Spark's 10GB application-side scan gate so
+        # InjectRuntimeFilter actually fires at this fixture size
+        set_native_rf(spark, rf)
         t = time.time()
         n = len(cascade.run_cascade(spark, fdir, cfg).collect())
         dt = time.time() - t
         assert n == 100, f"cascade result rows {n} != 100"
-        spark.conf.set(rf_conf, "false")
+        set_native_rf(spark, False)
         spark.catalog.clearCache()
         return dt
 
     leg(off_cfg, False)  # untimed warmup: page cache + codegen
-    best = {k: math.inf for k in ("off", "rpt", "rpt_sketch", "native_rf")}
+    legs = [("off", off_cfg, False), ("rpt", None, False),
+            ("rpt_sketch", cascade.CASCADE_SKETCH_CONFIG, False),
+            ("native_rf", off_cfg, True)]
+    best = {k: math.inf for k, _, _ in legs}
     for r in range(runs):
-        best["off"] = min(best["off"], leg(off_cfg, False))
-        best["rpt"] = min(best["rpt"], leg(None, False))
-        best["rpt_sketch"] = min(best["rpt_sketch"],
-                                 leg(cascade.CASCADE_SKETCH_CONFIG, False))
-        best["native_rf"] = min(best["native_rf"], leg(off_cfg, True))
+        rot = r % len(legs)  # rotate: no leg always pays first-leg warmup
+        for key, cfg, rf in legs[rot:] + legs[:rot]:
+            best[key] = min(best[key], leg(cfg, rf))
         print(f"# run {r + 1}/{runs}: "
               f"{ {k: round(v, 2) for k, v in best.items()} }",
               file=sys.stderr, flush=True)
