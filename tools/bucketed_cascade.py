@@ -154,12 +154,13 @@ def main() -> int:
         return dt
 
     leg(off_cfg)  # warmup
-    best = {"off": math.inf, "rpt": math.inf, "rpt_hinted": math.inf}
-    for _ in range(3):
-        best["off"] = min(best["off"], leg(off_cfg))
-        best["rpt"] = min(best["rpt"], leg(rpt_cfg))
-        best["rpt_hinted"] = min(best["rpt_hinted"],
-                                 leg(rpt_cfg, hinted=True))
+    legs = [("off", off_cfg, False), ("rpt", rpt_cfg, False),
+            ("rpt_hinted", rpt_cfg, True)]
+    best = {k: math.inf for k, _, _ in legs}
+    for it in range(3):
+        rot = it % len(legs)  # rotate: no leg always pays warmup
+        for key, cfg, hinted in legs[rot:] + legs[:rot]:
+            best[key] = min(best[key], leg(cfg, hinted))
 
     on_rows = sorted(map(tuple, build(rpt_cfg).collect()))
     hint_rows = sorted(map(tuple, build(rpt_cfg, True).collect()))

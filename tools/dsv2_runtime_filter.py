@@ -134,8 +134,9 @@ def main() -> int:
     facts = (("pruned", fact_rf), ("unpruned", fact_plain),
              ("native", fact_native))
     best = {name: float("inf") for name, _ in facts}
-    for _ in range(3):
-        for name, fact in facts:
+    for it in range(3):
+        rot = it % len(facts)  # rotate: no leg always pays warmup
+        for name, fact in facts[rot:] + facts[:rot]:
             t, r = leg(fact)
             best[name] = min(best[name], t)
             rows[name] = r

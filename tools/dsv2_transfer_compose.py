@@ -171,8 +171,9 @@ def main() -> int:
     best = {k: math.inf for k in legs}
     rows = {}
     runs = int(os.environ.get("DRPT_COMPOSE_RUNS", "3"))
-    for _ in range(runs):
-        for name in legs:
+    for it in range(runs):
+        rot = it % len(legs)  # rotate: no leg always pays warmup
+        for name in legs[rot:] + legs[:rot]:
             t, r = leg(name)
             best[name] = min(best[name], t)
             rows[name] = r

@@ -142,8 +142,10 @@ def main() -> int:
     leg("aqe")  # untimed warmup: page cache + codegen
     best = {k: math.inf for k in ("plain", "aqe", "salted")}
     results = {}
+    names = ("plain", "aqe", "salted")
     for r in range(runs):
-        for name in ("plain", "aqe", "salted"):
+        rot = r % len(names)  # rotate: no leg always pays warmup
+        for name in names[rot:] + names[:rot]:
             dt, rows = leg(name)
             best[name] = min(best[name], dt)
             if name in results:
