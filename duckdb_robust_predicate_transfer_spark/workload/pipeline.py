@@ -1732,3 +1732,39 @@ def q_corpus_curation(spark, sf_dir):
                  F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
                  .alias("tokens_kept"))
             .orderBy("lang"))
+
+
+@query(
+    "q_stratified_sample",
+    # Corpus rebalancing by stratified deterministic sampling — THE
+    # training-data idiom for taming a dominant language/source: each
+    # stratum gets its own md5-gate keep-rate (en ~25% = first byte
+    # < 0x40, everything else ~75% = < 0xc0). Stateless and scan-local
+    # like q_sample_hash, so at 100 TB it is one pass with no seed
+    # coordination, no shuffle before the audit agg, and bit-identical
+    # row membership across engines and re-runs.
+    oracle="""
+    WITH sampled AS (
+      SELECT doc_id, lang, n_chars
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+            < CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM sampled GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic hash sampling + audit aggregate."""
+    e = eng(spark, sf_dir)
+    d = e.table("documents")
+    gate = F.when(F.col("lang") == "en", "40").otherwise("c0")
+    return (d.filter(F.md5(F.col("doc_id").cast("string")).substr(1, 2)
+                     < gate)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_chars").alias("chars_kept"),
+                 F.min("doc_id").alias("min_id"),
+                 F.max("doc_id").alias("max_id")))
