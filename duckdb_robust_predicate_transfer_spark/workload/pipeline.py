@@ -1768,3 +1768,52 @@ def q_stratified_sample(spark, sf_dir):
                  F.sum("n_chars").alias("chars_kept"),
                  F.min("doc_id").alias("min_id"),
                  F.max("doc_id").alias("max_id")))
+
+
+@query(
+    "q_pack_sequences",
+    # Sequence packing for LLM training: concatenate each shard's
+    # documents in deterministic (doc_id) order and chunk the stream
+    # into fixed 2048-token context windows; a doc's bin is the window
+    # its start offset falls in (the streaming concat-and-chunk idiom).
+    # Shard-local by construction (window PARTITION BY source), so at
+    # 100 TB it is one shuffle by shard + a per-shard running sum —
+    # no global ordering, no driver state. The audit aggregate checks
+    # bin occupancy per shard.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, source, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS start_off
+      FROM toks
+    )
+    SELECT source, CAST(FLOOR(start_off / 2048.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM packed GROUP BY source, bin
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Greedy concat-and-chunk packing into 2048-token windows."""
+    e = eng(spark, sf_dir)
+    d = e.table("documents")
+    n_tok = F.size(F.split("text", " ", -1)).cast("bigint")
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = d.select(
+        "doc_id", "source", n_tok.alias("n_tok")).withColumn(
+        "start_off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (packed
+            # explicit FLOOR both sides: DuckDB's CAST(double AS BIGINT)
+            # rounds half-even while Spark's truncates
+            .withColumn("bin", F.floor(F.col("start_off") / 2048)
+                        .cast("bigint"))
+            .groupBy("source", "bin")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("bin_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc")))
