@@ -52,6 +52,19 @@ REP = int(os.environ.get("DRPT_TPCH_SCALE_REP", 10))
 os.environ.setdefault("DRPT_DRIVER_MEM", "16g")
 
 TPCH = [f"q_tpch_q{i}" for i in range(1, 23)]
+# optional subset (comma-separated query names) for very large replications
+# where the full 22-query sweep would not fit a round's wall clock
+if os.environ.get("DRPT_TPCH_SCALE_QUERIES"):
+    TPCH = [q for q in os.environ["DRPT_TPCH_SCALE_QUERIES"].split(",")
+            if q]
+#: at REP>=1000 (>=600M lineitem rows) 64 shuffle partitions put ~10M
+#: rows in each — raise via env so partitions stay executor-memory-sized
+SHUFFLE = int(os.environ.get("DRPT_TPCH_SCALE_SHUFFLE", "64"))
+#: native-bloom emulation (lowered thresholds) is for fixtures whose
+#: scans sit under Spark's 10GB gate; at x1000 the lineitem scan is
+#: ~12GB and stock thresholds admit the filters — set "0" to run the
+#: native/composed legs at true production defaults
+EMULATE_RF = os.environ.get("DRPT_TPCH_SCALE_EMULATE_RF", "1") != "0"
 
 
 def ensure_fixture() -> None:
@@ -118,16 +131,27 @@ def main() -> int:
     from duckdb_robust_predicate_transfer_spark.workload.common import (
         count_native_blooms, set_default_config, set_native_rf)
 
-    spark = get_spark(app_name="drpt-tpch-scale", shuffle_partitions=64)
+    spark = get_spark(app_name="drpt-tpch-scale",
+                      shuffle_partitions=SHUFFLE)
     spark.sparkContext.setLogLevel("ERROR")
 
+    def set_rf(on: bool) -> None:
+        if EMULATE_RF:
+            # native blooms need lowered thresholds to fire at local
+            # fixture sizes (set_native_rf docstring); at defaults a
+            # "native" leg silently times the plain off plan
+            set_native_rf(spark, on)
+        else:
+            # true production defaults (x1000+: the scan clears the
+            # 10GB gate on its own)
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled",
+                "true" if on else "false")
+
     def set_mode(mode: str) -> None:
-        # native blooms need lowered thresholds to fire at local fixture
-        # sizes (set_native_rf docstring); at defaults a "native" leg
-        # silently times the plain off plan
         set_default_config(None if mode in ("rpt", "composed")
                            else RPTConfig(enabled=False))
-        set_native_rf(spark, mode in ("native", "composed"))
+        set_rf(mode in ("native", "composed"))
 
     def leg(name: str, mode: str) -> float:
         set_mode(mode)
@@ -137,7 +161,7 @@ def main() -> int:
             return time.time() - t
         finally:
             set_default_config(None)
-            set_native_rf(spark, False)
+            set_rf(False)
             spark.catalog.clearCache()
 
     MODES = ("off", "rpt", "native", "composed")
@@ -156,7 +180,7 @@ def main() -> int:
                 blooms[q][mode] = None
             finally:
                 set_default_config(None)
-                set_native_rf(spark, False)
+                set_rf(False)
                 spark.catalog.clearCache()
 
     best: dict = {q: {m: math.inf for m in MODES} for q in TPCH}
@@ -195,6 +219,8 @@ def main() -> int:
         "base": BASE,
         "replication": REP,
         "runs": runs,
+        "shuffle_partitions": SHUFFLE,
+        "rf_emulated": EMULATE_RF,
         "oracle_22_queries_ok": oracle_ok,
         "queries_timed": len(ok_qs),
         "failed": failed,
