@@ -367,6 +367,12 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         # filters are free in-process; ours cost a Spark job)
         probe_est = rows_est.get(op.probe, float("inf"))
         empty = False
+        #: did any predicate / semi join actually land on the probe? A
+        #: provable no-op (minmax range prunes nothing, no bf tier) must
+        #: NOT mark the probe reduced or propagate info — the later
+        #: information gate would then skip ops that could still prune
+        #: (ADVICE r4)
+        applied = False
         # ... and only from broadcast-tier builds (unless minmax_only is
         # forced): a shuffle-tier build's eager agg re-derives a
         # multi-million-row lineage for a range that, on hash-uniform
@@ -400,9 +406,11 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             if n == 0:
                 dfs[op.probe] = probe.where(F.lit(False))
                 empty = True
+                applied = True
             elif pred is not None:
                 probe = probe.where(pred)
                 dfs[op.probe] = probe
+                applied = True
 
         if not empty and sketch_tier:
             # sketch tier: ship a fixed-size bitmap instead of the key
@@ -473,12 +481,14 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 c = F.col(p) == F.col(f"__k{i}")
                 cond = c if cond is None else (cond & c)
             dfs[op.probe] = probe.join(keys, cond, "left_semi")
+            applied = True
 
-        reduced.add(op.probe)
-        info[op.probe] |= info[op.build]
-        epochs[op.probe] = epochs.get(op.probe, 0) + 1
-        if op.probe in rows_est:
-            rows_est[op.probe] *= REDUCTION_DECAY
+        if applied or empty:
+            reduced.add(op.probe)
+            info[op.probe] |= info[op.build]
+            epochs[op.probe] = epochs.get(op.probe, 0) + 1
+            if op.probe in rows_est:
+                rows_est[op.probe] *= REDUCTION_DECAY
         if cfg.profiling:
             t0 = time.perf_counter()
             st.rows_out = dfs[op.probe].count()

@@ -250,13 +250,38 @@ class _Walker:
         owners = {self.id_map[i][0] for i in ids if i in self.id_map}
         if len(owners) == 1 and len(ids) > 0 and conjunct.deterministic():
             alias = owners.pop()
+            if not self._filter_sound(alias, how, left_set, right_set):
+                return
             inst = self.instances.get(alias)
             if inst is not None and all(i in self.id_map for i in ids):
                 inst.filters.append(conjunct.sql())
         elif len(owners) > 1 and _cls(conjunct) == "Or":
-            self._imply_from_or(conjunct)
+            self._imply_from_or(conjunct, how, left_set, right_set)
 
-    def _imply_from_or(self, conjunct) -> None:
+    @staticmethod
+    def _filter_sound(alias: str, how: str | None,
+                      left_set: set, right_set: set) -> bool:
+        """May a (possibly implied) local filter owned by ``alias`` be
+        baked into its shadow view, given the conjunct's provenance?
+
+        WHERE-clause / inner-join / semi-join conjuncts: always — a row
+        failing the conjunct cannot reach the output. Outer-join ON
+        conjuncts: ONLY when the alias sits on the null-producing side
+        (right of LEFT, left of RIGHT). On the PRESERVED side the join
+        keeps rows that fail the ON clause (they pad with NULLs), so a
+        baked filter both drops preserved rows at replay and unsoundly
+        marks the instance prefiltered for the transfer cascade."""
+        if how is None or how in ("inner", "left_semi"):
+            return True
+        if how == "left":
+            return alias in right_set
+        if how == "right":
+            return alias in left_set
+        return False
+
+    def _imply_from_or(self, conjunct, how: str | None = None,
+                       left_set: set = frozenset(),
+                       right_set: set = frozenset()) -> None:
         """Predicate move-around for cross-instance disjunctions — the
         host-optimizer trick the reference inherits from DuckDB.
 
@@ -292,6 +317,8 @@ class _Walker:
             seen |= set(owned)
         for alias in seen:
             if all(alias in owned for owned in per):
+                if not self._filter_sound(alias, how, left_set, right_set):
+                    continue
                 inst = self.instances.get(alias)
                 if inst is not None:
                     branches = [" AND ".join(f"({s})" for s in owned[alias])

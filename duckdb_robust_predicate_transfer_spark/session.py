@@ -41,7 +41,12 @@ def get_spark(app_name: str = "drpt-spark", master: str | None = None,
         # deterministic roundtrips through our own footer probing
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow speeds toPandas/createDataFrame but the DRIVER'S harness
+        # session leaves it off, so DRPT_ARROW=0 gives a driver-parity
+        # session for the local gate (r4 regression: code green under
+        # Arrow failed at the driver on the non-Arrow verifier path)
+        .config("spark.sql.execution.arrow.pyspark.enabled",
+                "false" if os.environ.get("DRPT_ARROW") == "0" else "true")
         .config("spark.driver.memory", os.environ.get("DRPT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # saved (bucketed) tables land outside the repo; static conf, so

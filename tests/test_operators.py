@@ -49,6 +49,33 @@ def test_bloom_resize_on_underestimate(spark, sf_dir):
     assert n_bloom >= n_exact
 
 
+def test_bloom_probe_without_arrow(spark, sf_dir):
+    """Driver-parity regression (r4 red row): the harness session does
+    NOT enable spark.sql.execution.arrow.pyspark.enabled, so the bitmap
+    handoff must survive the non-Arrow createDataFrame row verifier,
+    which rejects numpy scalars. Locks bloom.py shipping plain Python
+    ints on both the build return and the probe broadcast row."""
+    from duckdb_robust_predicate_transfer_spark.operators.bloom import (
+        build_bloom, probe_bloom)
+
+    cat = get_catalog(spark, sf_dir)
+    orders = cat.table("orders").filter(F.col("o_orderstatus") == "F")
+    key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        bloom = build_bloom(orders, ["o_orderkey"], est_rows=5000)
+        assert all(type(w) is int for w in bloom.words)
+        li = cat.table("lineitem")
+        n_bloom = probe_bloom(li, ["l_orderkey"], bloom).count()
+    finally:
+        spark.conf.set(key, prev)
+    n_exact = li.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey", "left_semi").count()
+    assert n_exact <= n_bloom < li.count()
+
+
 def test_bloom_sketch_transfer_config(spark, sf_dir):
     """use_sketch end-to-end through Engine.reduce must preserve results."""
     from duckdb_robust_predicate_transfer_spark.config import RPTConfig

@@ -51,6 +51,10 @@ REP = int(os.environ.get("DRPT_TPCH_SCALE_REP", 10))
 
 os.environ.setdefault("DRPT_DRIVER_MEM", "16g")
 
+
+def _ratio(num, den):
+    return round(num / den, 3) if num and den else None
+
 TPCH = [f"q_tpch_q{i}" for i in range(1, 23)]
 # optional subset (comma-separated query names) for very large replications
 # where the full 22-query sweep would not fit a round's wall clock
@@ -69,9 +73,16 @@ EMULATE_RF = os.environ.get("DRPT_TPCH_SCALE_EMULATE_RF", "1") != "0"
 
 def ensure_fixture() -> None:
     import duckdb
-    marker = os.path.join(OUT_DIR, "_DONE")
+    # REP+BASE-keyed marker: rerunning with a different replication but
+    # the same DRPT_TPCH_SCALE_DIR must regenerate, not silently reuse
+    # a fixture at the wrong scale (ADVICE r4)
+    tag = f"rep{REP}_{os.path.basename(BASE.rstrip('/'))}"
+    marker = os.path.join(OUT_DIR, f"_DONE_{tag}")
     if os.path.exists(marker):
         return
+    legacy = os.path.join(OUT_DIR, "_DONE")
+    if os.path.exists(legacy):
+        os.remove(legacy)  # unkeyed marker: cannot trust the scale
     os.makedirs(OUT_DIR, exist_ok=True)
     t0 = time.time()
     con = duckdb.connect()
@@ -167,7 +178,11 @@ def main() -> int:
     MODES = ("off", "rpt", "native", "composed")
 
     # plan-shape evidence: how many native bloom probes each mode's
-    # optimized plan carries (explain only, nothing executed)
+    # optimized plan carries. Note: for the 'composed' mode constructing
+    # the DataFrame runs the transfer's eager Spark jobs (min/max aggs,
+    # key counts, persists) before the explain — a real cost at x1000,
+    # accepted for the plan evidence (ADVICE r4: the old "nothing
+    # executed" comment was wrong for that mode)
     blooms: dict = {}
     for q in TPCH:
         blooms[q] = {}
@@ -210,8 +225,13 @@ def main() -> int:
 
     ok_qs = [q for q in TPCH if q not in failed]
 
-    def geo(mode: str) -> float:
-        vals = [best[q][mode] for q in ok_qs]
+    def geo(mode: str) -> float | None:
+        # legs that never completed show as inf — exclude them, and an
+        # all-failed run must still write its artifact (ADVICE r4)
+        vals = [best[q][mode] for q in ok_qs
+                if math.isfinite(best[q][mode])]
+        if not vals:
+            return None
         return round(math.exp(sum(math.log(v) for v in vals) / len(vals)), 3)
 
     summary = {
@@ -225,11 +245,10 @@ def main() -> int:
         "queries_timed": len(ok_qs),
         "failed": failed,
         "geomean_sec": {m: geo(m) for m in MODES},
-        "rpt_vs_off_geomean": round(geo("off") / geo("rpt"), 3),
-        "rpt_vs_native_geomean": round(geo("native") / geo("rpt"), 3),
-        "composed_vs_native_geomean": round(geo("native")
-                                            / geo("composed"), 3),
-        "composed_vs_off_geomean": round(geo("off") / geo("composed"), 3),
+        "rpt_vs_off_geomean": _ratio(geo("off"), geo("rpt")),
+        "rpt_vs_native_geomean": _ratio(geo("native"), geo("rpt")),
+        "composed_vs_native_geomean": _ratio(geo("native"), geo("composed")),
+        "composed_vs_off_geomean": _ratio(geo("off"), geo("composed")),
         "per_query_sec": {q: {m: (None if best[q][m] is math.inf
                                   else round(best[q][m], 3))
                               for m in MODES}
