@@ -58,6 +58,71 @@ def parquet_col_range(path: str, column: str):
     return None if lo is None else (lo, hi)
 
 
+def _stat_span(lo, hi):
+    """Numeric width of a [lo, hi] footer range, or None for types
+    without a meaningful difference (strings, raw binary)."""
+    try:
+        d = hi - lo
+    except TypeError:
+        return None
+    try:
+        return float(d.total_seconds())  # timedelta (date/timestamp stats)
+    except AttributeError:
+        try:
+            return float(d)
+        except (TypeError, ValueError):
+            return None
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=4096)
+def parquet_col_clustering(path: str, column: str):
+    """How range-clustered are the row groups on ``column``?
+
+    Returns avg(row-group span) / global span from footer statistics
+    alone (no scan): ~1.0 means every row group spans the whole domain
+    (hash/round-robin layout — a pushed BETWEEN can never drop a row
+    group), ~1/num_row_groups means disjoint clustered ranges (a
+    narrowed range prunes proportionally). None when statistics are
+    absent or the type has no numeric span. The payoff-side yardstick
+    for the eager min/max transfer: paying a driver agg job for a
+    predicate the probe's layout cannot act on is pure overhead
+    (measured at TPCH_SCALE x100: 0.2-0.8s per op)."""
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        import glob as _glob
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        files = [path]
+    lo = hi = None
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        try:
+            idx = md.schema.names.index(column)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            s = _stat_span(st.min, st.max)
+            if s is None:
+                return None
+            spans.append(s)
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if not spans:
+        return None
+    total = _stat_span(lo, hi)
+    if total is None or total <= 0:
+        return None
+    return (sum(spans) / len(spans)) / total
+
+
 def parquet_ts_unit(path: str, column: str = "ts") -> str:
     """The parquet footer's logical timestamp unit for ``column``
     ('ns', 'us', 'ms'), or '' if the column is not an INT64 logical

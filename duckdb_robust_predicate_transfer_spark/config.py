@@ -75,6 +75,23 @@ class RPTConfig:
     #: broadcast the distinct key-set when its estimated rows are below this
     #: (otherwise let AQE decide)
     broadcast_key_rows: int = 2_000_000
+    #: a broadcast-tier exact-key build BELOW this many (pre-decay
+    #: estimated) keys is "cheap": its driver hash relation builds in
+    #: tens of ms and the op is near-free, so no benefit test applies.
+    #: Above it, BroadcastExchange's single-threaded collect+build is a
+    #: real fixed cost that the probe reduction must repay — see
+    #: bf_benefit_probe_ratio. (Measured at TPCH_SCALE x100: Q3's
+    #: 1.45M-key broadcast semi lost 25-30% end-to-end while the
+    #: cascade's 300k-key op wins 2-3x.)
+    bf_cheap_keys: int = 800_000
+    #: ...and for those mid-size builds, require the probe to be at
+    #: least this many times the build's PRE-DECAY key estimate. The
+    #: pre-decay estimate (local-filter selectivity only, no semi-join
+    #: decay) is the conservative cost figure: decay is a fixed 0.2
+    #: guess that r4's Q3 showed can undershoot the true key count 2.4x.
+    #: 0 disables. Separates TPC-H Q3/Q8's paying-too-much ops (probe
+    #: 4-12x keys) from Q5/cascade's structural wins (probe 10-130x).
+    bf_benefit_probe_ratio: float = 8.0
     #: shuffle-tier ops (build keys too big to broadcast) only run when
     #: the build side is genuinely selective: estimated/observed build
     #: rows below this fraction of the build's raw footer rows. A build
@@ -108,6 +125,23 @@ class RPTConfig:
     #: _minmax_filter), so only the agg job itself remains as overhead —
     #: filter_type='bf_only' removes that too for known-uniform keys
     minmax_min_probe_rows: int = 5_000_000
+    #: ...and only from builds whose BASE table (raw footer rows) is at
+    #: most this big: the eager agg re-derives the build's whole
+    #: reduction lineage, so its cost scales with the base scan, not
+    #: with the reduced key count (measured at TPCH_SCALE x100: 0.5-0.8s
+    #: per op on the 15M-row orders lineage for a predicate the footer
+    #: skip then drops). Small-base builds (dims, cascade mid) keep the
+    #: range transfer; huge fact-derived builds skip straight to the
+    #: key/sketch tier. 0 disables the bound.
+    minmax_max_build_base: int = 4_000_000
+    #: ...and only into probes whose parquet row groups are actually
+    #: range-clustered on the transfer key: footer stats give
+    #: avg(row-group span)/global span for free, and when every row
+    #: group spans ~the whole domain (hash layout) a pushed BETWEEN
+    #: cannot drop a single row group — the eager agg job would buy two
+    #: comparisons per row at best. Probes must score BELOW this.
+    #: Unknown layouts (no stats / non-numeric keys) pass. >=1 disables.
+    minmax_max_clustering: float = 0.5
     #: backward-pass ops only into probes at least this big: reducing a
     #: small table can't help (the final join already handles it cheaply);
     #: reducing a big one avoids a large shuffle/hash build. The forward

@@ -181,6 +181,17 @@ class Engine:
         # the broadcast threshold; see host_broadcast_rows)
         from pyspark.sql import functions as F
 
+        # a broadcast hint on a view input only reaches that view's OWN
+        # first join, where it beats Catalyst's size heuristic outright —
+        # so hinting a mid-size reduced table whose join partner is even
+        # smaller DISPLACES the natural small-side broadcast (measured at
+        # TPCH_SCALE x100 Q3: the hint put 1.45M reduced-orders rows on
+        # the build side of a join whose other input was 3k customers).
+        # Hint only relations that are the smallest among their neighbors.
+        nbr: dict = {}
+        for e in ext.edges:
+            nbr.setdefault(e.left, set()).add(e.right)
+            nbr.setdefault(e.right, set()).add(e.left)
         shadowed = False
         try:
             for alias, inst in ext.instances.items():
@@ -188,7 +199,9 @@ class Engine:
                         and red[alias] is not rels[alias].df):
                     shadow = red[alias]
                     rows = self.last_rows_est.get(alias, 0.0)
-                    if 0.0 < rows <= self._host_broadcast_rows:
+                    if (0.0 < rows <= self._host_broadcast_rows
+                            and all(self.last_rows_est.get(n, float("inf"))
+                                    >= rows for n in nbr.get(alias, ()))):
                         shadow = F.broadcast(shadow)
                     shadow.createOrReplaceTempView(inst.table)
                     shadowed = True

@@ -162,6 +162,32 @@ def _minmax_cols(build: DataFrame, op: TransferOp) -> list:
     return [c for c in op.build_cols if dtypes.get(c) in _MINMAX_TYPES]
 
 
+def _probe_clustered(probe_path: str | None, probe_cols,
+                     max_clustering: float) -> bool:
+    """Payoff-possibility check for the eager min/max agg: at least one
+    probe key column's row groups must be range-clustered (footer-only,
+    cached). Unknown layouts pass — absence of evidence must not turn
+    the tier off for non-parquet probes."""
+    if max_clustering >= 1.0:
+        return True
+    if probe_path is None:
+        return True
+    from ..catalog import parquet_col_clustering
+
+    saw_any = False
+    for pc in probe_cols:
+        try:
+            c = parquet_col_clustering(probe_path, pc)
+        except Exception:
+            c = None
+        if c is None:
+            continue
+        saw_any = True
+        if c < max_clustering:
+            return True
+    return not saw_any
+
+
 def _range_pred(build_ranges: dict, op: TransferOp,
                 probe_path: str | None):
     """{build_col: (lo, hi)} -> probe BETWEEN predicate (or None),
@@ -217,6 +243,12 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
     dfs = dict(dfs)
     res = TransferResult(dfs=dfs, plan=plan)
     reduced: set = set()
+    #: pre-decay estimates: local-filter selectivity only, updated by
+    #: OBSERVED counts (min/max agg, bloom build) but never by the fixed
+    #: semi-reduction decay guess — the conservative key-count figure
+    #: for the broadcast-benefit gate (decay undershot Q3's true key
+    #: count 2.4x at TPCH_SCALE x100)
+    rows_pre: dict = dict(rows_est)
     #: (build alias, build_cols, reduction epoch) -> keys DataFrame; when
     #: one build side feeds several probes on the same columns (a column
     #: equivalence class, e.g. nation.n_nationkey into both customer and
@@ -300,6 +332,24 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             base = rows_base.get(op.build, 0.0)
             if base > 0 and est >= cfg.max_build_keep_frac * base:
                 continue
+        # 2c. broadcast-tier benefit gate: BroadcastExchange collects the
+        #     key set to the driver and builds the hash relation single-
+        #     threaded, so a MID-SIZE key set (above bf_cheap_keys) is a
+        #     real fixed cost — require the probe to dwarf it. Priced on
+        #     the PRE-DECAY build estimate: the per-semi decay is a fixed
+        #     0.2 guess that can undershoot the true key count severalfold
+        #     and sneak an expensive build under the bar (TPC-H Q3 at
+        #     x100/x300, the r4 bounded-downside break). Minmax-only mode
+        #     ships no keys, and the sketch tier's parallel JVM build +
+        #     bitmap broadcast has no driver hash relation — both exempt.
+        if (cfg.bf_benefit_probe_ratio > 0 and cfg.filter_type != "minmax_only"
+                and est <= cfg.broadcast_key_rows
+                and not (cfg.use_sketch and est > cfg.sketch_threshold_rows)):
+            pre = rows_pre.get(op.build, est)
+            if (pre > cfg.bf_cheap_keys
+                    and rows_est.get(op.probe, float("inf"))
+                    < cfg.bf_benefit_probe_ratio * pre):
+                continue
         # 3. backward ops need an even bigger probe: the forward pass
         #    already reduced the root, so the marginal win is smaller
         if (op.phase == "backward"
@@ -380,9 +430,21 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         # TPCH_SCALE 100x: 3.6 s agg, predicate dropped by the footer
         # skip, zero pruning). Builds that carry range-correlated
         # filters are precisely the small, already-reduced ones.
+        # ... and the eager agg's cost scales with the build's BASE scan
+        # (it re-derives the whole reduction lineage), so huge-base builds
+        # skip it even in "all" mode — measured 0.5-0.8s per op on the
+        # 15M-row orders lineage at x100 for a predicate the footer skip
+        # then dropped. minmax_only mode stays unbounded (explicit ask).
+        base_rows = (rows_base or {}).get(op.build, 0.0)
+        minmax_base_ok = (cfg.minmax_max_build_base <= 0 or base_rows <= 0
+                          or base_rows <= cfg.minmax_max_build_base)
         want_minmax = (cfg.filter_type in ("all", "minmax_only")
                        and ((probe_est >= cfg.minmax_min_probe_rows
-                             and est <= cfg.broadcast_key_rows)
+                             and est <= cfg.broadcast_key_rows
+                             and minmax_base_ok
+                             and _probe_clustered(
+                                 probe_paths.get(op.probe), op.probe_cols,
+                                 cfg.minmax_max_clustering))
                             or cfg.filter_type == "minmax_only"))
         if want_minmax and not sketch_tier:
             t0 = time.perf_counter()
@@ -402,6 +464,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             # that undershot a genuinely huge build must not force a
             # driver-side broadcast of its keys)
             rows_est[op.build] = float(n)
+            rows_pre[op.build] = float(n)  # observed beats any estimate
             est = float(n)
             if n == 0:
                 dfs[op.probe] = probe.where(F.lit(False))
@@ -432,6 +495,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                                 stat_cols=stat_cols)
             st.build_ms = (time.perf_counter() - t0) * 1e3
             rows_est[op.build] = float(bloom.n_rows)
+            rows_pre[op.build] = float(bloom.n_rows)
             if bloom.n_rows == 0:
                 dfs[op.probe] = probe.where(F.lit(False))
             else:
