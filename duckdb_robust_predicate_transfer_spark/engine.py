@@ -147,7 +147,37 @@ class Engine:
         known = {t for t in TABLES
                  if os.path.exists(self.catalog.path(t))}
         ext = extract_join_graph(df, known)
-        if ext is None or len(ext.edges) <= 1:
+        if ext is None:
+            return None
+        # correlated-scalar-subquery (DELIM) edges: the reference walks
+        # LOGICAL_DELIM_JOIN as an edge source (rpt_optimizer.cpp:49-50)
+        # so its transfer reaches the scan inside Q17-style correlated
+        # aggregates. Our replay shadows the TABLE VIEW, which reaches
+        # both occurrences at once — each recognized occurrence becomes
+        # a virtual graph node + edge so the planner sees the topology;
+        # soundness is enforced at shadow time (allowed-keys check).
+        shared_tables = {t: groups for t, groups in ext.shared_sub.items()
+                         if any(i.table == t and not i.protected
+                                and ext.occurrences(t) == 1
+                                for i in ext.instances.values())}
+        virt_edges: list = []
+        virt_rels: dict = {}
+        for vi, (t, groups) in enumerate(sorted(shared_tables.items())):
+            for gi, group in enumerate(groups):
+                # one virtual node per subquery occurrence; one edge per
+                # outer instance it correlates with
+                valias = f"__sub{vi}_{gi}_{t}"
+                virt_rels[valias] = Rel(t)
+                by_outer: dict = {}
+                for inner_col, oalias, ocol in group:
+                    by_outer.setdefault(oalias, []).append(
+                        (inner_col, ocol))
+                for oalias, pairs in by_outer.items():
+                    virt_edges.append(
+                        (oalias, valias,
+                         tuple(p[1] for p in pairs),
+                         tuple(p[0] for p in pairs)))
+        if len(ext.edges) + len(virt_edges) <= 1:
             return None
         # at least one relation must be substitutable (single-occurrence
         # table) for the rewrite to have any effect — e.g. a pure
@@ -159,14 +189,21 @@ class Engine:
         rels: dict = {}
         for alias, inst in ext.instances.items():
             d = self.table(inst.table).alias(alias)
+            if inst.table in shared_tables:
+                # a local filter baked into a shared-subquery table's
+                # shadow would leak into the subquery's own scan and
+                # change its groups; leave filters to the replayed SQL
+                rels[alias] = Rel(inst.table, df=d)
+                continue
             for f in inst.filters:
                 d = d.filter(f)
             rels[alias] = Rel(inst.table, df=d,
                               prefiltered=bool(inst.filters))
+        rels.update(virt_rels)
         # reduce() releases the previous query's persists at entry; nulling
         # last_result here instead would leak them for the life of the
         # session (CacheManager plan pollution — see reduce()'s docstring)
-        red = self.reduce(rels, ext.edges, cfg)
+        red = self.reduce(rels, list(ext.edges) + virt_edges, cfg)
         if self.last_result is None:
             return None  # planner bailed (gates / <=1 edge)
 
@@ -192,11 +229,33 @@ class Engine:
         for e in ext.edges:
             nbr.setdefault(e.left, set()).add(e.right)
             nbr.setdefault(e.right, set()).add(e.left)
+        def _shared_ops_ok(alias: str, groups: list) -> bool:
+            """Every op applied to ``alias`` must be keyed exactly by
+            the correlation columns of EVERY subquery occurrence —
+            otherwise the shared view's reduction could change a
+            subquery group some surviving outer row still references."""
+            if self.last_result is None:
+                return False
+            for op in self.last_result.applied:
+                if op.probe != alias:
+                    continue
+                pairs = set(zip(op.probe_cols, op.build_cols))
+                for group in groups:
+                    gset = {(ic, oc) for ic, oa, oc in group
+                            if oa == op.build}
+                    if not pairs <= gset:
+                        return False
+            return True
+
         shadowed = False
         try:
             for alias, inst in ext.instances.items():
                 if (ext.occurrences(inst.table) == 1
                         and red[alias] is not rels[alias].df):
+                    if (inst.table in shared_tables
+                            and not _shared_ops_ok(
+                                alias, shared_tables[inst.table])):
+                        continue
                     shadow = red[alias]
                     rows = self.last_rows_est.get(alias, 0.0)
                     if (0.0 < rows <= self._host_broadcast_rows

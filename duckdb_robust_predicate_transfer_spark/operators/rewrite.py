@@ -80,6 +80,10 @@ class TransferResult:
     plan: TransferPlan
     stats: list = field(default_factory=list)
     persisted: list = field(default_factory=list)
+    #: ops that actually landed a predicate/semi join on their probe
+    #: (gate survivors) — lets callers audit WHICH keys reduced a
+    #: relation, e.g. the shared-subquery shadow soundness check
+    applied: list = field(default_factory=list)
     #: wall time spent in graph build + heuristic + scheduling (set by
     #: Engine.reduce — the reference's optimizer-time probe,
     #: rpt_profiling.hpp:16-40)
@@ -505,6 +509,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                     probe = probe.where(pred)
                 dfs[op.probe] = probe_bloom(probe, list(op.probe_cols),
                                             bloom)
+            res.applied.append(op)
             reduced.add(op.probe)
             info[op.probe] |= info[op.build]
             epochs[op.probe] = epochs.get(op.probe, 0) + 1
@@ -548,6 +553,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             applied = True
 
         if applied or empty:
+            res.applied.append(op)
             reduced.add(op.probe)
             info[op.probe] |= info[op.build]
             epochs[op.probe] = epochs.get(op.probe, 0) + 1

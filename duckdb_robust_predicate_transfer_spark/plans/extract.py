@@ -89,6 +89,9 @@ class LeafInstance:
 class Extraction:
     instances: dict  #: alias -> LeafInstance
     edges: list      #: list[JoinEdge] between instance aliases
+    #: table -> list of allowed reduction key groups (one per recognized
+    #: correlated-subquery occurrence); see _Walker.shared_sub
+    shared_sub: dict = field(default_factory=dict)
 
     def occurrences(self, table: str) -> int:
         return sum(1 for i in self.instances.values() if i.table == table)
@@ -170,6 +173,16 @@ class _Walker:
         #: excluding MARK-join build sides from transfer,
         #: rpt_optimizer.cpp:546-549, while still rewriting the rest).
         self.protected_tables: set = set()
+        #: table -> list of allowed reduction keys, one entry per
+        #: recognized correlated-scalar-subquery occurrence: each entry
+        #: is a list of (inner_col, outer_alias, outer_col) equi pairs.
+        #: The reference reaches these scans by treating the DELIM join
+        #: as an edge source (rpt_optimizer.cpp:49-50); our view-level
+        #: shadowing reaches them for free PROVIDED the shadow's only
+        #: reductions are keyed exactly by the correlation columns —
+        #: then every subquery group a surviving outer row can look up
+        #: is computed over unchanged rows (see engine._auto_transfer_sql).
+        self.shared_sub: dict = {}
 
     # -- subquery tolerance ---------------------------------------------
 
@@ -182,6 +195,11 @@ class _Walker:
         c = _cls(expr)
         if c in _SUBQUERY_EXPRS or "Subquery" in c:
             flags.append(c)
+            if c == "ScalarSubquery" and self._try_shared_subquery(expr):
+                # recognized Q17-shape correlated aggregate: the leaf
+                # stays shadow-SHARED (constraint recorded) instead of
+                # protected; children already vetted by the recognizer
+                return
             try:
                 self._protect_plan(expr.plan())
             except Exception:
@@ -196,6 +214,142 @@ class _Walker:
             return
         for child in _jseq(expr.children()):
             self._scan_tolerant(child, attr_ids, flags)
+
+    def _try_shared_subquery(self, expr) -> bool:
+        """Recognize the DELIM shape the reference transfers into
+        (rpt_optimizer.cpp:49-50 treats LOGICAL_DELIM_JOIN as an edge
+        source): a correlated scalar aggregate over ONE known base
+        table whose every correlation conjunct is an equi pair
+        ``inner.col = outer(attr)``. On success, records
+        shared_sub[table] += [allowed (inner_col, outer_alias,
+        outer_col) pairs] and returns True — the caller then skips
+        protection, and the engine may shadow the table's view iff its
+        reductions are keyed exactly by those pairs (a key-set semi on
+        the correlation column cannot change any subquery group a
+        surviving outer row can reference). Anything unrecognized
+        returns False and falls back to full protection — fail-safe."""
+        try:
+            plan = expr.plan()
+            if _cls(plan) != "Aggregate":
+                return False
+            # aggregate/grouping expressions must not hide another
+            # subquery (outer refs there are fine: they are constants
+            # per evaluation and unaffected by inner-row reduction)
+            for e in _jseq(plan.expressions()):
+                if self._has_subquery(e):
+                    return False
+            node = _jseq(plan.children())[0]
+            conds: list = []
+            while True:
+                c = _cls(node)
+                if c == "Filter":
+                    conds.extend(_conjuncts(node.condition()))
+                    node = _jseq(node.children())[0]
+                elif c == "Project":
+                    for e in _jseq(node.expressions()):
+                        if self._has_subquery(e):
+                            return False
+                    node = _jseq(node.children())[0]
+                elif c == "SubqueryAlias":
+                    leaf = _leaf_of(node, self.known)
+                    break
+                else:
+                    return False
+            if leaf is None:
+                return False
+            _, table = leaf
+            inner_ids = {a.exprId().id(): a.name()
+                         for a in _jseq(node.output())}
+            pairs = []
+            for conj in conds:
+                got = self._corr_conjunct(conj, inner_ids)
+                if got is None:
+                    return False
+                if got != "local":
+                    pairs.append(got)
+            if not pairs:
+                return False  # uncorrelated: plain protection is right
+            allowed = []
+            for inner_col, outer_id in pairs:
+                o = self.id_map.get(outer_id)
+                if o is None:
+                    return False  # outer side not a walked instance
+                allowed.append((inner_col, o[0], o[1]))
+            self.shared_sub.setdefault(table, []).append(allowed)
+            return True
+        except Exception:
+            return False
+
+    def _has_subquery(self, expr) -> bool:
+        c = _cls(expr)
+        if c in _SUBQUERY_EXPRS or "Subquery" in c:
+            return True
+        return any(self._has_subquery(ch) for ch in _jseq(expr.children()))
+
+    def _corr_conjunct(self, conj, inner_ids: dict):
+        """Classify one subquery-filter conjunct: ("col", outer_id) for
+        an equi correlation pair, "local" for a deterministic inner-only
+        predicate (replayed verbatim inside the subquery text), None for
+        anything else (kills recognition)."""
+        outer_ids: list = []
+        ids: list = []
+        self._scan_outer(conj, ids, outer_ids)
+        if None in ids or None in outer_ids:
+            return None  # nested subquery inside the conjunct
+        if not outer_ids:
+            if all(i in inner_ids for i in ids) and conj.deterministic():
+                return "local"
+            return None
+        if _cls(conj) != "EqualTo":
+            return None
+
+        def side(e):
+            c = _cls(e)
+            if c == "OuterReference":
+                try:
+                    inner = e.e()
+                except Exception:
+                    return None
+                if _cls(inner) == "AttributeReference":
+                    return ("outer", inner.exprId().id())
+                return None
+            if c == "AttributeReference":
+                return ("inner", e.exprId().id())
+            return None
+
+        a, b = side(conj.left()), side(conj.right())
+        if a is None or b is None or a[0] == b[0]:
+            return None
+        inner_id = a[1] if a[0] == "inner" else b[1]
+        outer_id = a[1] if a[0] == "outer" else b[1]
+        if inner_id not in inner_ids:
+            return None
+        return (inner_ids[inner_id], outer_id)
+
+    def _scan_outer(self, expr, ids: list, outer_ids: list) -> None:
+        """Collect inner attr ids and OuterReference attr ids; a nested
+        subquery poisons both lists (sets them unusable via sentinel)."""
+        c = _cls(expr)
+        if c in _SUBQUERY_EXPRS or "Subquery" in c:
+            ids.append(None)      # sentinel: caller's membership checks
+            outer_ids.append(None)  # fail on None, killing recognition
+            return
+        if c == "OuterReference":
+            # the wrapped attr is the `e` FIELD, not a child
+            try:
+                inner = expr.e()
+            except Exception:
+                inner = None
+            if inner is not None and _cls(inner) == "AttributeReference":
+                outer_ids.append(inner.exprId().id())
+            else:
+                outer_ids.append(None)  # unrecognized wrapper: poison
+            return
+        if c == "AttributeReference":
+            ids.append(expr.exprId().id())
+            return
+        for ch in _jseq(expr.children()):
+            self._scan_outer(ch, ids, outer_ids)
 
     def _protect_plan(self, plan) -> None:
         """Record every known table referenced anywhere under a
@@ -413,7 +567,11 @@ def extract_join_graph(df: DataFrame, known_tables: set) -> Extraction | None:
         w = _Walker(set(known_tables))
         w.walk(plan)
         # a table referenced inside a subquery must keep its original
-        # contents at replay: bar every outer instance of it too
+        # contents at replay: bar every outer instance of it too. A
+        # recognized shared-subquery table escapes ONLY if no other
+        # (unrecognized) subquery occurrence protected it.
+        shared = {t: g for t, g in w.shared_sub.items()
+                  if t not in w.protected_tables}
         for inst in w.instances.values():
             if inst.table in w.protected_tables:
                 inst.protected = True
@@ -423,7 +581,8 @@ def extract_join_graph(df: DataFrame, known_tables: set) -> Extraction | None:
                  and not w.instances[e.right].protected]
         if not edges:
             return None
-        return Extraction(instances=w.instances, edges=edges)
+        return Extraction(instances=w.instances, edges=edges,
+                          shared_sub=shared)
     except _Unsupported:
         return None
     except Exception:

@@ -370,3 +370,76 @@ def test_outer_on_clause_rewrite_matches_off(eng, spark, sf_dir):
     forced = Engine(spark, sf_dir, FORCE)
     off = Engine(spark, sf_dir, RPTConfig(enabled=False))
     assert _rows(forced.sql(OUTER_ON_OR_SQL)) == _rows(off.sql(OUTER_ON_OR_SQL))
+
+
+Q17_SHAPE_SQL = """
+    SELECT SUM(l_extendedprice) AS s
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey AND p_brand = 'Brand#3'
+      AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+           FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def test_delim_shared_subquery_recognized(eng):
+    """The reference extracts edges from LOGICAL_DELIM_JOIN
+    (rpt_optimizer.cpp:49-50); our analogue recognizes the correlated
+    scalar aggregate and records the allowed reduction key instead of
+    protecting the table."""
+    df = eng.sql(Q17_SHAPE_SQL, auto_rpt=False)
+    ext = extract_join_graph(df, KNOWN)
+    assert ext is not None
+    assert not ext.instances["lineitem"].protected
+    assert ext.shared_sub == {
+        "lineitem": [[("l_partkey", "part", "p_partkey")]]}
+
+
+def test_delim_unrecognized_shapes_stay_protected(eng):
+    # correlation through an expression (not a bare equi pair)
+    df = eng.sql("""
+        SELECT SUM(l_extendedprice) AS s FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND l_quantity < (SELECT AVG(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey + 1)
+    """, auto_rpt=False)
+    ext = extract_join_graph(df, KNOWN)
+    assert ext is None or ext.instances["lineitem"].protected
+
+    # two tables inside the subquery
+    df = eng.sql("""
+        SELECT SUM(l_extendedprice) AS s FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND l_quantity < (SELECT AVG(l2.l_quantity)
+                            FROM lineitem l2 JOIN orders
+                              ON l2.l_orderkey = o_orderkey
+                            WHERE l2.l_partkey = p_partkey)
+    """, auto_rpt=False)
+    ext = extract_join_graph(df, KNOWN)
+    assert ext is None or ext.instances["lineitem"].protected
+    if ext is not None:
+        assert "lineitem" not in ext.shared_sub
+
+
+def test_delim_rewrite_matches_off(eng, spark, sf_dir):
+    forced = Engine(spark, sf_dir, FORCE)
+    off = Engine(spark, sf_dir, RPTConfig(enabled=False))
+    assert _rows(forced.sql(Q17_SHAPE_SQL)) == _rows(off.sql(Q17_SHAPE_SQL))
+    assert forced.last_sql_rewritten
+
+
+def test_delim_disallowed_key_skips_shadow(eng, spark, sf_dir):
+    """lineitem joined to BOTH part and orders, but the subquery only
+    licenses l_partkey reductions: the shadow must be skipped (orders
+    keys would change subquery groups that surviving rows reference) —
+    and results must still match the plain run."""
+    sql = """
+        SELECT SUM(l_extendedprice) AS s
+        FROM lineitem, part, orders
+        WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+          AND p_brand = 'Brand#3' AND o_orderstatus = 'F'
+          AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+               FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """
+    forced = Engine(spark, sf_dir, FORCE)
+    off = Engine(spark, sf_dir, RPTConfig(enabled=False))
+    assert _rows(forced.sql(sql)) == _rows(off.sql(sql))
