@@ -159,6 +159,18 @@ class RPTConfig:
     #: (CASCADE_BIG/BUCKETED) come from the forward pass and survive the
     #: default.
     backward_broadcast_only: bool = True
+    #: one filtering mechanism per query (the reference's --no-jfp
+    #: ablation discipline, test_job_queries.sh:123-138): when the
+    #: auto-SQL transfer actually applies ops, Spark's own runtime
+    #: bloom injection on the SAME joins is pure double-filtering —
+    #: its creation jobs re-derive key sets our semi joins already
+    #: shipped (measured at TPCH_SCALE x100: composed Q7 4.21s vs rpt
+    #: alone 2.54s). With this on, Engine.sql disables native bloom
+    #: injection for a query the rewrite engaged on and restores the
+    #: session value on the next non-engaged query. Caveat: the toggle
+    #: is session-scoped and read at execution, so collect rewritten
+    #: DataFrames before planning the next query.
+    suppress_native_rf: bool = True
     #: persist reduced tables that both feed a key-set and the final join
     persist_reduced: bool = True
     #: ...but only when the reduced build side is big enough that

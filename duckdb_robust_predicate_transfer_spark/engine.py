@@ -135,7 +135,33 @@ class Engine:
             return df
         out = self._auto_transfer_sql(query, df, cfg)
         self.last_sql_rewritten = out is not None
+        if cfg.suppress_native_rf:
+            self._sync_native_rf(engaged=out is not None)
         return out if out is not None else df
+
+    #: conf value we overwrote when suppressing native bloom injection
+    #: (None = not currently suppressing)
+    _rf_stash: str | None = None
+
+    def _sync_native_rf(self, engaged: bool) -> None:
+        """One mechanism per edge (config.suppress_native_rf): disable
+        Spark's runtime bloom injection while a rewritten query is the
+        latest planned one; restore the session's value when a query
+        runs un-rewritten. Only called on the enabled-rewrite path, so
+        benchmark legs that drive the conf directly (rpt/native/off
+        ablations re-assert it before every leg) are never fought."""
+        key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        try:
+            if engaged:
+                cur = self.spark.conf.get(key, "false")
+                if cur == "true":
+                    self._rf_stash = cur
+                    self.spark.conf.set(key, "false")
+            elif self._rf_stash is not None:
+                self.spark.conf.set(key, self._rf_stash)
+                self._rf_stash = None
+        except Exception:
+            pass
 
     def _auto_transfer_sql(self, query: str, df: DataFrame,
                            cfg: RPTConfig) -> "DataFrame | None":

@@ -443,3 +443,26 @@ def test_delim_disallowed_key_skips_shadow(eng, spark, sf_dir):
     forced = Engine(spark, sf_dir, FORCE)
     off = Engine(spark, sf_dir, RPTConfig(enabled=False))
     assert _rows(forced.sql(sql)) == _rows(off.sql(sql))
+
+
+def test_engaged_rewrite_suppresses_native_blooms(eng, spark, sf_dir):
+    """config.suppress_native_rf: one mechanism per edge — an engaged
+    rewrite turns Spark's own bloom injection off for that query; the
+    next un-rewritten query restores the session value."""
+    from duckdb_robust_predicate_transfer_spark.workload.common import (
+        count_native_blooms)
+
+    key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        forced = Engine(spark, sf_dir, FORCE)
+        df = forced.sql(FLAGSHIP_SQL)
+        assert forced.last_sql_rewritten
+        assert spark.conf.get(key) == "false"
+        assert count_native_blooms(df) == 0
+        forced.sql("SELECT COUNT(*) AS c FROM nation")
+        assert not forced.last_sql_rewritten
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, prev)
