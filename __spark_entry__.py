@@ -34,10 +34,11 @@ from duckdb_robust_predicate_transfer_spark.workload import ORACLE, QUERIES  # n
 #      when slots remain.
 #   4. rows-only queries (no oracle) — the driver's weaker check.
 _GRADE_FIRST = [
-    # the one query with no green driver row across r1-r3: the r3 red was
-    # the DuckDB-HUGEINT oracle typing slip, fixed by CAST(... AS BIGINT)
-    # (workload/tpch.py) and now guarded by tools/oracle_check's type gate
-    "q_tpch_q12",
+    # the r4 red row: numpy int64 hit the driver's non-Arrow
+    # createDataFrame verifier (operators/bloom.py, fixed r5: plain
+    # Python ints on both the build return and the probe broadcast row;
+    # regression-locked by test_bloom_probe_without_arrow)
+    "q_sketch_transfer",
 ]
 _GRADE_LAST = [
     # green in CORRECTNESS_r03
@@ -61,7 +62,7 @@ _GRADE_LAST = [
     "q_tpch_q5", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q18",
     "q_tpch_q21",
     "q_join_2way_inner", "q_star_join_rpt", "q_star_join_forced",
-    "q_sketch_transfer", "q_sql_auto_rpt", "q_snowflake_agg",
+    "q_tpch_q12", "q_sql_auto_rpt", "q_snowflake_agg",
     "q_multi_col_join", "q_cyclic_join_graph", "q_left_join",
     "q_semi_join", "q_in_subquery_mark", "q_correlated_exists",
     "q_scalar_agg", "q_groupby_having", "q_grouping_sets",

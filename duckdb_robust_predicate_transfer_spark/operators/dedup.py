@@ -11,15 +11,33 @@ and shuffle-parallel at 100 TB:
 - SimHash: 64-bit signature via bitwise majority vote of token
   hashes; near-dup candidates via banded signature chunks.
 
-Hashing uses xxhash64 (Spark built-in, JVM-side); signatures are
-deterministic per engine but not portable to other engines, hence the
-rows-only correctness tier for the candidate-pair queries (SURVEY.md
-section 2d note).
+Hashing is pluggable (``hash_fn``): the default xxhash64 (Spark
+built-in, JVM-side) is the fast engine-specific tier; ``md5_64`` is an
+engine-PORTABLE 64-bit-from-md5-hex tier, bit-identical in DuckDB as
+``('0x' || substr(md5(s), 1, 15))::BIGINT``, so the candidate-pair
+queries can carry an exact cross-engine oracle instead of a rows-only
+check. Both tiers share the identical plan shape; md5 costs ~2-3x the
+hash CPU, so xxhash64 stays the production default.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _md5_64(e: str) -> str:
+    return f"cast(conv(substring(md5(cast({e} as string)), 1, 15), 16, 10) as bigint)"
+
+
+#: name -> (hash(expr), seeded hash(expr, seed_expr)) SQL builders, each
+#: producing a BIGINT from arbitrary input expressions
+HASHERS = {
+    "xxhash64": (lambda e: f"xxhash64({e})",
+                 lambda e, s: f"xxhash64({e}, {s})"),
+    "md5_64": (_md5_64,
+               lambda e, s: _md5_64(
+                   f"concat(cast({s} as string), '|', cast({e} as string))")),
+}
 
 
 def tokens(col: str = "text"):
@@ -38,23 +56,25 @@ def word_shingles(col: str = "text", n: int = 3):
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
-                      k: int = 32, n_shingle: int = 3) -> DataFrame:
+                      k: int = 32, n_shingle: int = 3,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """(id, sig: array<bigint> of k minhashes).
 
-    Each shingle string is hashed ONCE (`xxhash64(s)`); the k hash
-    functions are derived from that 64-bit value with cheap long mixes
-    (`xxhash64(h, i)`), and all k running minima fold in a single pass
+    Each shingle string is hashed ONCE (``hash_fn(s)``); the k hash
+    functions are derived from that 64-bit value with cheap seeded
+    re-hashes, and all k running minima fold in a single pass
     over the shingle array. Versus hashing the string k times in k
     separate folds this is ~10x cheaper at corpus scale while keeping
     the same min-wise LSH guarantees (the derived family is pairwise
     independent enough for banding). One narrow projection: no explode,
     no shuffle.
     """
+    h1, h2 = HASHERS[hash_fn]
     acc0 = f"array_repeat(9223372036854775807L, {k})"
     sig = F.expr(
-        f"aggregate(transform(sh, s -> xxhash64(s)), {acc0},"
+        f"aggregate(transform(sh, s -> {h1('s')}), {acc0},"
         f" (acc, h) -> zip_with(acc,"
-        f"   transform(sequence(0, {k - 1}), i -> xxhash64(h, i)),"
+        f"   transform(sequence(0, {k - 1}), i -> {h2('h', 'i')}),"
         f"   (a, v) -> least(a, v)))"
     )
     return (df.select(F.col(id_col), word_shingles(text_col, n_shingle).alias("sh"))
@@ -63,8 +83,8 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
                       k: int = 32, bands: int = 8,
-                      n_shingle: int = 3, min_est_jaccard: float = 0.5
-                      ) -> DataFrame:
+                      n_shingle: int = 3, min_est_jaccard: float = 0.5,
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, est_jaccard).
 
     LSH banding: split the k-minhash signature into `bands` chunks of
@@ -74,24 +94,25 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
     shuffle, which is what makes this viable at corpus scale.
     """
     r = k // bands
+    _, h2 = HASHERS[hash_fn]
     # Materialize signatures once to executor-local storage: they feed
     # the banding AND both sides of the candidate re-join below, and a
     # lazy plan would recompute the (now cheap, but still corpus-wide)
     # fold three times. localCheckpoint — not persist() — so the
     # CacheManager never pattern-matches this subtree into later
     # queries' plans, and the blocks free themselves on GC.
-    sigs = (minhash_signature(df, id_col, text_col, k, n_shingle)
+    sigs = (minhash_signature(df, id_col, text_col, k, n_shingle, hash_fn)
             .localCheckpoint(eager=True))
     # The band join shuffles only (id, band_id, band_hash) — NOT the
     # k-long signature arrays (which would be duplicated `bands` times
     # by the explode and again by the candidate distinct). Signatures
     # re-attach to the deduplicated pair set afterwards: two joins over
     # |corpus| slim rows instead of 2*bands*|corpus| wide ones.
+    band_expr = h2(f"concat_ws(',', slice(sig, b * {r} + 1, {r}))", "b")
     banded = sigs.select(
         id_col,
         F.posexplode(F.expr(
-            f"transform(sequence(0, {bands - 1}),"
-            f" b -> xxhash64(concat_ws(',', slice(sig, b * {r} + 1, {r})), b))"
+            f"transform(sequence(0, {bands - 1}), b -> {band_expr})"
         )).alias("band_id", "band_hash"))
     a = banded.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
     b = banded.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
@@ -109,8 +130,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str = "text",
             .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard")))
 
 
-def simhash_signature(df: DataFrame, id_col: str, text_col: str = "text"
-                      ) -> DataFrame:
+def simhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
+                      hash_fn: str = "xxhash64") -> DataFrame:
     """(id, simhash: bigint) — 64-bit SimHash of the token multiset.
 
     Bit i of the signature is a majority vote over the doc's token
@@ -126,11 +147,12 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str = "text"
     shuffle is 16 bytes/token with map-side partial aggregation, a
     price worth paying to stay inside codegen.
     """
+    h1, _ = HASHERS[hash_fn]
     toks = df.select(
         F.col(id_col),
         F.explode(F.expr(
             f"transform(split({text_col}, '\\\\s+', -1),"
-            f" t -> xxhash64(t))")).alias("h"))
+            f" t -> {h1('t')})")).alias("h"))
     bitcols = [
         F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(64)]
@@ -141,14 +163,16 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str = "text"
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str = "text",
-                  max_hamming: int = 8) -> DataFrame:
+                  max_hamming: int = 8,
+                  hash_fn: str = "xxhash64") -> DataFrame:
     """Near-dup candidates: pairs whose 64-bit SimHash differs in at
     most `max_hamming` bits. Banding on 4x16-bit chunks (a pair within
     hamming<=3 must share a chunk exactly; wider radii still surface
     via any equal chunk) keeps the join bucketed, never all-pairs."""
     # both sides of the chunk self-join would recompute the corpus-wide
     # vote fold; materialize it once (see minhash_lsh_pairs note)
-    sigs = simhash_signature(df, id_col, text_col).localCheckpoint(eager=True)
+    sigs = (simhash_signature(df, id_col, text_col, hash_fn)
+            .localCheckpoint(eager=True))
     chunked = sigs.select(
         id_col, "simhash",
         F.posexplode(F.expr(

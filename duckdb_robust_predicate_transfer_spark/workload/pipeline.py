@@ -824,16 +824,71 @@ def q_token_regex_count(spark, sf_dir):
                     F.regexp_count("text", F.lit("[0-9]+")).alias("n_nums")))
 
 
-@query("q_dedup_minhash")  # engine-specific hashing => rows-only check
+#: DuckDB twin of operators/dedup.HASHERS["md5_64"]: 60-bit BIGINT from
+#: the first 15 md5 hex chars — bit-identical to Spark's
+#: cast(conv(substring(md5(s),1,15),16,10) as bigint) (verified)
+def _dd_h(e: str) -> str:
+    return f"('0x' || substr(md5({e}), 1, 15))::BIGINT"
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(text, '\\s+') AS arr FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             {_dd_h("array_to_string(list_slice(arr, i.i + 1, i.i + 3), ' ')")} AS h
+      FROM w, UNNEST(generate_series(0, greatest(len(arr) - 3, 0))) AS i(i)
+    ),
+    m AS (
+      SELECT doc_id, k.k AS k,
+             MIN({_dd_h("k.k::VARCHAR || '|' || h::VARCHAR")}) AS mn
+      FROM sh, UNNEST(generate_series(0, 31)) AS k(k)
+      GROUP BY doc_id, k.k
+    ),
+    sig AS (SELECT doc_id, list(mn ORDER BY k) AS sig FROM m GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b.b AS band,
+             {_dd_h("b.b::VARCHAR || '|' || array_to_string("
+                    "list_slice(sig, CAST(b.b * 4 + 1 AS INT),"
+                    " CAST(b.b * 4 + 4 AS INT)), ',')")} AS bh
+      FROM sig, UNNEST(generate_series(0, 7)) AS b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands a
+      JOIN bands b2 ON a.band = b2.band AND a.bh = b2.bh
+                   AND a.doc_id < b2.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, 32),
+                 j -> sa.sig[CAST(j AS INT)] = sb.sig[CAST(j AS INT)]))
+             AS DOUBLE) / 32, 4) AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.id_a
+    JOIN sig sb ON sb.doc_id = c.id_b
+    WHERE CAST(LEN(LIST_FILTER(GENERATE_SERIES(1, 32),
+          j -> sa.sig[CAST(j AS INT)] = sb.sig[CAST(j AS INT)]))
+        AS DOUBLE) / 32 >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
 def q_dedup_minhash(spark, sf_dir):
     """MinHash+LSH near-dup candidates over documents
     (operators/dedup.py: shingle -> 32 minhashes -> 8 bands ->
-    bucket join; never all-pairs)."""
+    bucket join; never all-pairs), on the md5_64 portable hash tier so
+    the FULL operator (derived hash family, banding, signature-agreement
+    scoring) carries an exact cross-engine oracle. The xxhash64 tier is
+    plan-identical (only the hash template differs, dedup.HASHERS) and
+    stays the production default."""
     from ..operators.dedup import minhash_lsh_pairs
 
     e = eng(spark, sf_dir)
     return minhash_lsh_pairs(e.table("documents"), "doc_id", "text",
-                             k=32, bands=8, min_est_jaccard=0.4)
+                             k=32, bands=8, min_est_jaccard=0.4,
+                             hash_fn="md5_64")
 
 
 @query(
@@ -1201,14 +1256,55 @@ def q_simhash_pairs(spark, sf_dir):
             .distinct())
 
 
-@query("q_dedup_simhash")  # rows-only
+_DS_SUMS = ",\n             ".join(
+    f"SUM((h >> {i}) & 1) AS b{i}" for i in range(60))
+_DS_ASSEMBLE = " + ".join(
+    f"(CASE WHEN 2 * b{i} > n THEN (1::BIGINT << {i}) ELSE 0 END)"
+    for i in range(60))
+
+
+@query(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_dd_h("t.t")} AS h
+      FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS arr
+            FROM documents), UNNEST(arr) AS t(t)
+    ),
+    sig AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {_DS_SUMS}
+      FROM tok GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, ({_DS_ASSEMBLE})::BIGINT AS sim FROM sig),
+    ch AS (
+      SELECT doc_id, sim, c.c AS c,
+             (sim >> CAST(16 * c.c AS INT)) & 65535 AS v
+      FROM fp, UNNEST(generate_series(0, 3)) AS c(c)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.sim AS sa, b.sim AS sb
+      FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v
+                         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 12
+    ORDER BY id_a, id_b
+    """,
+)
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash near-dup candidates (64-bit signatures, banded chunks)."""
+    """SimHash near-dup candidates (64-bit signatures, banded 16-bit
+    chunks, exact Hamming re-check) on the md5_64 portable hash tier —
+    the full operator path (vote fold, chunk join, bit_count) verifies
+    against an exact DuckDB twin; bits 60-63 of the 60-bit portable
+    hash are structurally zero on both engines. xxhash64 stays the
+    production default (plan-identical, dedup.HASHERS)."""
     from ..operators.dedup import simhash_pairs
 
     e = eng(spark, sf_dir)
     return simhash_pairs(e.table("documents"), "doc_id", "text",
-                         max_hamming=12)
+                         max_hamming=12, hash_fn="md5_64")
 
 
 def _hyperplanes(n_planes: int = 16, dim: int = 64) -> list:
