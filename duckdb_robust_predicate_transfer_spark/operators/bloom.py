@@ -169,13 +169,26 @@ def probe_bloom(df: DataFrame, cols, sketch: BloomSketch) -> DataFrame:
     expressions inside the probe scan's codegen stage — false positives
     pass (later exact joins drop them), true matches never fail."""
     spark = df.sparkSession
-    # one row of plain Python ints: works on BOTH createDataFrame paths
-    # (Arrow on or off) — the non-Arrow row verifier rejects numpy
-    # scalars, and the driver's harness session runs with Arrow off
-    # (r4 regression: FIELD_DATA_TYPE_UNACCEPTABLE numpy.int64)
-    words = [int(w) for w in sketch.words]
-    arr_df = spark.createDataFrame([(words,)],
-                                   schema="__bm array<bigint>")
+    # bitmap handoff, session-adaptive (r4 regression + its fix):
+    # - Arrow ON: one-row pandas frame rides the Arrow path — the fast
+    #   lane that closed the sketch tier to ~1.1x of exact keys (the
+    #   py4j transfer dominated the build job before r4).
+    # - Arrow OFF (the DRIVER's harness session): plain Python ints —
+    #   the non-Arrow row verifier rejects numpy scalars
+    #   (FIELD_DATA_TYPE_UNACCEPTABLE numpy.int64, the r4 red row).
+    # Locked by test_bloom_probe_without_arrow.
+    arrow_on = "true" == str(spark.conf.get(
+        "spark.sql.execution.arrow.pyspark.enabled", "false")).lower()
+    if arrow_on:
+        import pandas as pd
+
+        words = np.asarray(sketch.words, dtype=np.int64)
+        arr_df = spark.createDataFrame(pd.DataFrame({"__bm": [words]}),
+                                       schema="__bm array<bigint>")
+    else:
+        words = [int(w) for w in sketch.words]
+        arr_df = spark.createDataFrame([(words,)],
+                                       schema="__bm array<bigint>")
     out = (df.withColumn("__h", F.xxhash64(*cols))
            .crossJoin(F.broadcast(arr_df)))
     conds = []
