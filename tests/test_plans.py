@@ -339,3 +339,71 @@ def test_host_broadcast_feedback_sql_path(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" in plan_on
     assert "BroadcastHashJoin" not in plan_off
+
+
+def test_bf_benefit_gate_prices_midsize_broadcasts(spark, sf_dir):
+    """Gate 2c (r5): a broadcast-tier exact-key build above
+    bf_cheap_keys (pre-decay) is skipped unless the probe is
+    bf_benefit_probe_ratio times bigger; cheap builds are exempt."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
+
+    rels = {"l": "lineitem",
+            "o": Rel("orders", "o_orderstatus = 'F'"),
+            "c": Rel("customer", "c_mktsegment = 'BUILDING'")}
+    edges = [("l", "o", "l_orderkey", "o_orderkey"),
+             ("o", "c", "o_custkey", "c_custkey")]
+    base = dict(min_probe_rows=0, require_selective_build=False,
+                backward_min_probe_rows=0, all_broadcast_bail_rows=0,
+                filter_type="bf_only")
+
+    def applied_probes(cfg):
+        e = Engine(spark, sf_dir, cfg)
+        e.reduce_and_join(rels, edges).collect()
+        return {op.probe for op in e.last_result.applied}
+
+    # every pre-decay estimate is "mid-size" and the probes are never
+    # ratio-times bigger => both forward hops priced out
+    got = applied_probes(RPTConfig(**base, bf_cheap_keys=1,
+                                   bf_benefit_probe_ratio=1e9))
+    assert got == set()
+    # ratio 0 disables the gate entirely
+    got = applied_probes(RPTConfig(**base, bf_benefit_probe_ratio=0.0))
+    assert {"l", "o"} <= got
+    # cheap builds (high bf_cheap_keys) are exempt from the ratio
+    got = applied_probes(RPTConfig(**base, bf_cheap_keys=10**9,
+                                   bf_benefit_probe_ratio=1e9))
+    assert {"l", "o"} <= got
+
+
+def test_minmax_clustering_gate(spark, tmp_path):
+    """parquet_col_clustering: sorted writes score ~1/num_row_groups,
+    hash layouts ~1.0; _probe_clustered gates the eager agg on it."""
+    from duckdb_robust_predicate_transfer_spark.catalog import (
+        parquet_col_clustering)
+    from duckdb_robust_predicate_transfer_spark.operators.rewrite import (
+        _probe_clustered)
+
+    sp = str(tmp_path / "sorted.parquet")
+    (spark.range(400_000).selectExpr("id AS k")
+     .coalesce(1).sortWithinPartitions("k")
+     .write.option("parquet.block.size", 262144)
+     .mode("overwrite").parquet(sp))
+    hp = str(tmp_path / "hashed.parquet")
+    (spark.range(400_000)
+     .selectExpr("xxhash64(id) % 1000000 AS k")
+     .coalesce(1)
+     .write.option("parquet.block.size", 262144)
+     .mode("overwrite").parquet(hp))
+
+    cs = parquet_col_clustering(sp, "k")
+    ch = parquet_col_clustering(hp, "k")
+    assert cs is not None and cs < 0.5, cs
+    assert ch is not None and ch > 0.9, ch
+    assert _probe_clustered(sp, ("k",), 0.5)
+    assert not _probe_clustered(hp, ("k",), 0.5)
+    # unknown layouts (no stats / missing path) must pass
+    assert _probe_clustered(None, ("k",), 0.5)
+    assert _probe_clustered(hp, ("nope",), 0.5)
+    # >=1 disables
+    assert _probe_clustered(hp, ("k",), 1.0)
