@@ -166,6 +166,15 @@ def main() -> int:
 
     def leg(name: str, mode: str) -> float:
         set_mode(mode)
+        # shuffle files live until their ShuffleDependency is GC'd; at
+        # x1000 a single big SMJ spills tens of GB, and 22x4xN
+        # accumulated legs fill the disk (r5: ENOSPC killed Q5/Q7 off
+        # legs). Forcing a JVM GC lets the ContextCleaner delete the
+        # previous leg's files before the next one runs.
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
         try:
             t = time.time()
             QUERIES[name](spark, OUT_DIR).collect()
