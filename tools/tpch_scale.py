@@ -146,6 +146,27 @@ def main() -> int:
                       shuffle_partitions=SHUFFLE)
     spark.sparkContext.setLogLevel("ERROR")
 
+    def restart_spark() -> None:
+        """Bounded-disk discipline for big replications: shuffle files
+        are only guaranteed gone when their SparkContext stops (stop()
+        removes the whole blockmgr tree). Per-leg JVM GC turned out not
+        to keep up at x1000 — 57 GB of spill accumulated inside ten
+        minutes and ENOSPC'd the r5 first attempts — so the session is
+        recycled between queries, capping live spill at one query's
+        four legs (~10 s restart cost each, paid equally by all legs)."""
+        nonlocal spark
+        try:
+            spark.stop()
+        except Exception:
+            pass
+        spark = get_spark(app_name="drpt-tpch-scale",
+                          shuffle_partitions=SHUFFLE)
+        spark.sparkContext.setLogLevel("ERROR")
+
+    def free_gb() -> float:
+        st = os.statvfs("/tmp")
+        return st.f_bavail * st.f_frsize / 2**30
+
     def set_rf(on: bool) -> None:
         if EMULATE_RF:
             # native blooms need lowered thresholds to fire at local
@@ -165,13 +186,17 @@ def main() -> int:
         set_rf(mode in ("native", "composed"))
 
     def leg(name: str, mode: str) -> float:
+        # emergency valve: a leg mid-query can still spill big; never
+        # start one without headroom
+        if free_gb() < 10:
+            restart_spark()
         set_mode(mode)
-        # shuffle files live until their ShuffleDependency is GC'd; at
-        # x1000 a single big SMJ spills tens of GB, and 22x4xN
-        # accumulated legs fill the disk (r5: ENOSPC killed Q5/Q7 off
-        # legs). Forcing a JVM GC lets the ContextCleaner delete the
-        # previous leg's files before the next one runs.
+        # best-effort early release between legs (the hard guarantee is
+        # the per-query restart_spark below)
         try:
+            import gc as _pygc
+
+            _pygc.collect()
             spark._jvm.System.gc()
         except Exception:
             pass
@@ -207,6 +232,9 @@ def main() -> int:
                 set_rf(False)
                 spark.catalog.clearCache()
 
+    if REP >= 300:
+        restart_spark()  # shed any spill from the bloom-count pass
+
     best: dict = {q: {m: math.inf for m in MODES} for q in TPCH}
     failed = []
     leg(TPCH[0], "off")  # untimed warmup: page cache + codegen
@@ -227,6 +255,11 @@ def main() -> int:
                 print(f"# FAIL {q}: {str(exc)[:200]}", file=sys.stderr,
                       flush=True)
                 failed.append(q)
+                restart_spark()  # a dead/ENOSPC'd session poisons the rest
+            # big replications: recycle the session so live spill never
+            # exceeds one query's legs (see restart_spark)
+            if REP >= 300:
+                restart_spark()
         done = {q: round(v["rpt"], 2) for q, v in best.items()
                 if v["rpt"] < math.inf}
         print(f"# run {r_i + 1}/{runs}: {len(done)}/22 rpt legs ok",
