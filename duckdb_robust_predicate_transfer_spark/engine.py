@@ -219,10 +219,20 @@ class Engine:
                     by_outer.setdefault(oalias, []).append(
                         (inner_col, ocol))
                 for oalias, pairs in by_outer.items():
+                    # "left" = only the virtual (inner) side may be
+                    # reduced. The reverse direction — outer reduced by
+                    # the subquery table's keys — is unsound when the
+                    # scalar's consumption tolerates an empty group
+                    # (COUNT(*) returns 0, not NULL; or `(SELECT ...)
+                    # IS NULL`): those outer rows must SURVIVE having
+                    # no inner match, exactly like an outer join's
+                    # preserved side. Same discipline as the reference,
+                    # whose delim joins preserve the probe side.
                     virt_edges.append(
                         (oalias, valias,
                          tuple(p[1] for p in pairs),
-                         tuple(p[0] for p in pairs)))
+                         tuple(p[0] for p in pairs),
+                         "left"))
         if len(ext.edges) + len(virt_edges) <= 1:
             return None
         # at least one relation must be substitutable (single-occurrence

@@ -445,6 +445,43 @@ def test_delim_disallowed_key_skips_shadow(eng, spark, sf_dir):
     assert _rows(forced.sql(sql)) == _rows(off.sql(sql))
 
 
+def test_delim_virtual_edge_never_reduces_outer(spark, sf_dir):
+    """The DELIM virtual edge is one-way (how='left'): the subquery
+    table's keys must NEVER reduce the outer side. An outer row whose
+    correlation key has no inner rows is still a valid result row when
+    the scalar's consumption tolerates an empty group — COUNT(*) over
+    zero rows returns 0 (not NULL), and `(SELECT AVG(..)) IS NULL` is
+    TRUE — exactly an outer join's preserved-side discipline. The
+    fixture data has full referential integrity, so this pins the
+    mechanism structurally AND differentially."""
+    count_sql = """
+        SELECT COUNT(*) AS c
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_name = 'FRANCE'
+          AND (SELECT COUNT(*) FROM orders o
+               WHERE o.o_custkey = c_custkey) >= 0
+    """
+    forced = Engine(spark, sf_dir, FORCE)
+    off = Engine(spark, sf_dir, RPTConfig(enabled=False))
+    assert _rows(forced.sql(count_sql)) == _rows(off.sql(count_sql))
+    if forced.last_result is not None:
+        for op in forced.last_result.applied:
+            assert not op.build.startswith("__sub"), (
+                f"virtual subquery node {op.build} reduced real "
+                f"alias {op.probe} — unsound for empty-group-"
+                f"tolerant consumption")
+
+    # and on the Q17 shape: the win (lineitem reduced via the REAL
+    # part edge) must survive the directional restriction
+    forced2 = Engine(spark, sf_dir, FORCE)
+    forced2.sql(Q17_SHAPE_SQL)
+    assert forced2.last_sql_rewritten
+    assert forced2.last_result is not None
+    for op in forced2.last_result.applied:
+        assert not op.build.startswith("__sub")
+    assert any(op.probe == "lineitem" for op in forced2.last_result.applied)
+
+
 def test_engaged_rewrite_suppresses_native_blooms(eng, spark, sf_dir):
     """config.suppress_native_rf: one mechanism per edge — an engaged
     rewrite turns Spark's own bloom injection off for that query; the
