@@ -218,19 +218,28 @@ def main() -> int:
     # accepted for the plan evidence (ADVICE r4: the old "nothing
     # executed" comment was wrong for that mode)
     blooms: dict = {}
-    for q in TPCH:
-        blooms[q] = {}
-        for mode in ("native", "composed"):
-            set_mode(mode)
-            try:
-                blooms[q][mode] = count_native_blooms(
-                    QUERIES[q](spark, OUT_DIR))
-            except Exception:
-                blooms[q][mode] = None
-            finally:
-                set_default_config(None)
-                set_rf(False)
-                spark.catalog.clearCache()
+    blooms_from = os.environ.get("DRPT_TPCH_SCALE_BLOOMS_FROM", "")
+    if blooms_from:
+        # plan evidence is timing-independent; a re-timing run (e.g.
+        # after a methodology fix) reuses the counts from the previous
+        # artifact instead of paying the composed pass's eager transfer
+        # jobs again (~45 min at x1000)
+        with open(blooms_from) as fh:
+            blooms = json.load(fh).get("native_blooms_injected", {})
+    else:
+        for q in TPCH:
+            blooms[q] = {}
+            for mode in ("native", "composed"):
+                set_mode(mode)
+                try:
+                    blooms[q][mode] = count_native_blooms(
+                        QUERIES[q](spark, OUT_DIR))
+                except Exception:
+                    blooms[q][mode] = None
+                finally:
+                    set_default_config(None)
+                    set_rf(False)
+                    spark.catalog.clearCache()
 
     if REP >= 300:
         restart_spark()  # shed any spill from the bloom-count pass
@@ -249,6 +258,16 @@ def main() -> int:
             if q in failed:
                 continue
             try:
+                if REP >= 300:
+                    # recycled-session fairness: the first leg after a
+                    # restart pays the fixture's page-cache faults and
+                    # codegen JIT (~10-25 s at x1000) — with few runs
+                    # the rotation alone leaves modes sampling unequal
+                    # positions (run 0+1 give 'off' a best position of
+                    # 3-warm vs 'rpt' 1-warm, measured as join-free Q1
+                    # "losing" 12% rpt-vs-off). An untimed off-mode
+                    # warmup per fresh session levels every position.
+                    leg(q, "off")
                 for mode in order:
                     best[q][mode] = min(best[q][mode], leg(q, mode))
             except Exception as exc:  # record and move on; artifact lands
