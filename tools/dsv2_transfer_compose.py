@@ -84,7 +84,11 @@ def ensure_fixture(spark):
         .cast("long").alias("f_mk"),
         ((F.col("id") % 1000) / 10.0).alias("f_amount"),
         (F.col("id") % 100).cast("int").alias("f_cat"))
-     .repartitionByRange(32, "f_mk").sortWithinPartitions("f_mk")
+     # ~5M rows per range partition: a fixed 32 OOMed the 300M-row
+     # build's per-task sorts under a 16g heap (32 concurrent
+     # UnsafeExternalSorters); scaling keeps each sort bounded
+     .repartitionByRange(max(32, FACT_ROWS // 5_000_000), "f_mk")
+     .sortWithinPartitions("f_mk")
      .write.mode("overwrite").option("parquet.block.size", 8 * 1024 * 1024)
      .parquet(os.path.join(BASE, "fact.parquet")))
     with open(marker, "w") as f:
