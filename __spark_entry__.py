@@ -71,6 +71,17 @@ _GRADE_LAST = [
     "q_job_style_dim_fanout", "q_full_outer_join",
     "q_text_stats", "q_lang_quality", "q_doc_fingerprint",
     "q_dedup_exact", "q_ngram_jaccard", "q_cosine_topk",
+    # green in CORRECTNESS_r04
+    "q_ann_ivf_portable", "q_csv_source", "q_dedup_clusters",
+    "q_distinct_on", "q_embed_neardup_lsh_portable", "q_events_hopping",
+    "q_greatest_least", "q_json_source", "q_lateral_topn",
+    "q_multimodal_features_portable", "q_pack_sequences",
+    "q_partitioned_sink", "q_pivot", "q_qualify", "q_sample_hash",
+    "q_simhash_pairs", "q_stratified_sample", "q_stream_asof",
+    "q_stream_conversions", "q_stream_curated_ingest", "q_stream_dedup",
+    "q_stream_enriched", "q_stream_sessionize",
+    "q_stream_windowed_counts", "q_string_agg", "q_unnest_array",
+    "q_window_navigation", "q_window_ntile",
 ]
 
 

@@ -21,9 +21,13 @@ CacheManager stays out of later queries' plans). The per-round
 convergence check is one count aggregate, not a collect of labels.
 
 At 100 TB scale the same loop shape holds: the label frontier shuffles
-on node id each round, and the alternative for adversarial diameters
-is pointer-jumping (propagate through label links, O(log n) rounds) —
-out of scope for duplicate clusters.
+on node id each round, and adversarial diameters are covered by the
+default pointer-jumping step (each round additionally replaces a
+node's label with its label's label, doubling effective propagation
+distance — O(log diameter) rounds total instead of O(diameter), the
+classic Shiloach-Vishkin shortcut as used by the MapReduce CC
+literature). One extra self-join per round; duplicate-cluster graphs
+converge in 2-3 rounds either way.
 """
 
 from __future__ import annotations
@@ -32,11 +36,16 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def connected_components(pairs: DataFrame, a_col: str = "id_a",
-                         b_col: str = "id_b", max_iters: int = 20
-                         ) -> DataFrame:
+                         b_col: str = "id_b", max_iters: int = 20,
+                         pointer_jump: bool = True) -> DataFrame:
     """(node, label) for every node appearing in ``pairs``; ``label``
     is the minimum node id reachable from ``node`` (deterministic
-    canonical representative)."""
+    canonical representative).
+
+    ``pointer_jump=True`` (default) adds a label-chain contraction each
+    round: sound because ``label(n) <= n`` is invariant (min always
+    includes self), so ``label(label(n))`` is a reachable, no-larger
+    representative for ``n``."""
     und = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
            .union(pairs.select(F.col(b_col).alias("src"),
                                F.col(a_col).alias("dst")))
@@ -52,8 +61,20 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         new = (labels.join(nbr, "node", "left")
                .groupBy("node")
                .agg(F.least(F.min("label"), F.min("nbr_label"))
-                    .alias("label"))
-               .localCheckpoint(eager=True))
+                    .alias("label")))
+        if pointer_jump:
+            # label-chain contraction: node takes its label's label
+            # (always present — every label is itself a node), halving
+            # the remaining chain length each round
+            parent = new.select(F.col("node").alias("p_node"),
+                                F.col("label").alias("p_label"))
+            new = (new.join(parent, new.label == parent.p_node, "left")
+                   .select(F.col("node"),
+                           F.least(F.col("label"),
+                                   F.coalesce(F.col("p_label"),
+                                              F.col("label")))
+                           .alias("label")))
+        new = new.localCheckpoint(eager=True)
         changed = (new.alias("n")
                    .join(labels.alias("o"), "node")
                    .filter(F.col("n.label") != F.col("o.label"))

@@ -86,3 +86,32 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list,
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def read_rpt_parquet(spark: SparkSession, path: str,
+                     filter_columns: tuple | list = (),
+                     log_file: str = "",
+                     fallback: bool = True) -> DataFrame:
+    """Runtime-filtered parquet scan via the optional ``jvm/rpt-dsv2.jar``
+    DataSource V2 source (the reference's BF-into-scan table filter,
+    rpt_optimizer.cpp:1401-1501, re-expressed as Spark's
+    SupportsRuntimeV2Filtering — see jvm/README.md).
+
+    ``filter_columns`` declares the join-key columns whose runtime
+    IN-sets may drop whole row groups. When the jar is not on the
+    session's classpath the native parquet reader is returned instead
+    (``fallback=False`` raises) — the source is opt-in by design: it
+    wins on cold/remote storage where skipped row groups are skipped
+    IO, while a warm local page-cache scan makes the saved bytes free.
+    """
+    try:
+        reader = spark.read.format("rptparquet")
+        if filter_columns:
+            reader = reader.option("filterColumns", ",".join(filter_columns))
+        if log_file:
+            reader = reader.option("logFile", log_file)
+        return reader.load(path)
+    except Exception:
+        if not fallback:
+            raise
+        return spark.read.parquet(path)

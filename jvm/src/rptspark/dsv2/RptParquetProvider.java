@@ -25,9 +25,10 @@
  * row group per InputPartition (ColumnarBatch output, so scans run at the
  * native reader's throughput and the row-group pruning is pure savings);
  * a row-at-a-time fallback remains for zero-column (count-only) reads and
- * as the `vectorized=false` escape hatch. Still flat schemas only
- * (long/int/double/float/string/boolean) — the runtime-filter plumbing is
- * the point, and it is identical at any reader sophistication.
+ * as the `vectorized=false` escape hatch (that fallback is flat-schema
+ * only). Schema inference delegates to Spark's ParquetToSparkSchemaConverter,
+ * so nested structs/arrays/maps and decimal/date/timestamp leaves read
+ * through the vectorized path exactly as the native source would.
  *
  * Usage:
  *   spark.read.format("rptparquet")
@@ -560,7 +561,9 @@ final class RowGroupReader implements PartitionReader<InternalRow> {
           kinds[i] = K_BOOL;
         } else {
           throw new UnsupportedOperationException(
-              "rptparquet prototype: unsupported type " + t);
+              "rptparquet row-fallback reads flat long/int/double/float/"
+              + "string/boolean only; keep vectorized=true (the default) "
+              + "for " + t);
         }
       }
     } catch (IOException e) {
@@ -707,11 +710,33 @@ final class Util {
   }
 
   static StructType toSpark(MessageType m) {
+    // nested schemas (struct/array/map, incl. decimal/date/timestamp
+    // leaves): delegate to Spark's own parquet->Catalyst converter — the
+    // exact mapping the native source uses — so inference agrees with
+    // what the VectorizedParquetRecordReader will decode. The hand-rolled
+    // flat mapping below stays as the no-session fallback.
+    try {
+      org.apache.spark.sql.internal.SQLConf sqlConf =
+          org.apache.spark.sql.internal.SQLConf.get();
+      StructType converted = new org.apache.spark.sql.execution.datasources
+          .parquet.ParquetToSparkSchemaConverter(sqlConf).convert(m);
+      // file-based sources always surface nullable schemas (a file may
+      // be missing a column); match the native reader exactly
+      return (StructType) converted.asNullable();
+    } catch (RuntimeException fallThrough) {
+      // no active session / converter unavailable: flat subset below
+    }
+    return toSparkFlat(m);
+  }
+
+  private static StructType toSparkFlat(MessageType m) {
     List<StructField> fields = new ArrayList<>();
     for (Type t : m.getFields()) {
       if (!t.isPrimitive()) {
         throw new UnsupportedOperationException(
-            "rptparquet prototype: flat schemas only, got " + t);
+            "rptparquet: nested field " + t.getName()
+            + " needs an active SparkSession for schema inference"
+            + " (or pass an explicit schema)");
       }
       PrimitiveType p = t.asPrimitiveType();
       DataType dt;

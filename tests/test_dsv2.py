@@ -74,3 +74,32 @@ def test_dsv2_composes_with_transfer_engine():
     assert out["filter_called"]
     assert out["row_groups_after"] < out["row_groups_before"]
     assert out["results_match"]
+
+
+@pytest.mark.slow
+def test_dsv2_nested_schema_reads_and_prunes():
+    """Nested structs/arrays/maps + decimal/date through the rptparquet
+    vectorized path: schema inference via Spark's own converter, reads
+    byte-identical to the native source, and runtime V2 filtering still
+    drops row groups when the join keys on the flat int64 column."""
+    if shutil.which("javac") is None:
+        pytest.skip("no JDK: the optional DSv2 jar cannot be built")
+    env = dict(os.environ)
+    env.update({
+        "DRPT_NESTED_FIX": "/tmp/drpt_dsv2_nested_test_fix",
+        "DRPT_NESTED_ROWS": "2000000",
+        "SPARK_GRAFT_CPUS": "8",
+    })
+    proc = subprocess.run(
+        [sys.executable, "-u",
+         os.path.join(REPO, "tools", "dsv2_nested.py")],
+        env=env, capture_output=True, text=True, timeout=420)
+    lines = [ln for ln in proc.stdout.splitlines()
+             if ln.startswith('{"suite"')]
+    assert lines, f"no result line; stderr tail: {proc.stderr[-2000:]}"
+    out = json.loads(lines[-1])
+    assert out["schema_match"]
+    assert out["read_match"]
+    assert out["join_match"]
+    assert out["filter_called"]
+    assert out["row_groups_after"] < out["row_groups_before"]

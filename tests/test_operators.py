@@ -382,3 +382,20 @@ def test_connected_components_chain(spark):
         [(i,) for i in (1, 2, 3, 7, 8, 9)], "doc_id bigint")
     kept = sorted(r.doc_id for r in dedup_clusters(docs, pairs).collect())
     assert kept == [1, 7, 9]
+
+
+def test_connected_components_pointer_jump_long_chain(spark):
+    """A 64-node path is the adversarial-diameter shape: plain min-label
+    propagation moves the root label one hop per round (needs 63), the
+    default pointer-jumping contraction doubles reach per round, so 10
+    rounds suffice."""
+    from duckdb_robust_predicate_transfer_spark.operators.cluster import (
+        connected_components)
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a bigint, id_b bigint")
+    comp = connected_components(pairs, max_iters=10)
+    assert {r.label for r in comp.collect()} == {0}
+    # sanity: without the jump the same budget cannot converge
+    plain = connected_components(pairs, max_iters=10, pointer_jump=False)
+    assert {r.label for r in plain.collect()} != {0}

@@ -45,6 +45,17 @@ FACT_ROWS = int(os.environ.get("DRPT_COMPOSE_FACT_ROWS", 100_000_000))
 MID_ROWS = int(os.environ.get("DRPT_COMPOSE_MID_ROWS", 3_000_000))
 DIM_ROWS = int(os.environ.get("DRPT_COMPOSE_DIM_ROWS", 300_000))
 N_SEG = 16
+# which dim segments survive the filter. One contiguous segment ("3",
+# the r4 default) is the regime the transfer's min/max BETWEEN pushdown
+# already prunes by itself — there the DSv2 IN-set is redundant and
+# dsv2_vs_rpt ~ 0.85-0.9 even cold. SCATTERED segments ("2,9,14") are
+# where the in-scan IN-set earns its keep: the BETWEEN envelope spans
+# segment 2..14 (~80% of row groups survive min/max) while the IN-set
+# drops everything between the kept bands — the reference's table
+# filter is a key-set, not a range, for exactly this reason
+# (rpt_optimizer.cpp:1401-1501).
+SEGS = [int(s) for s in
+        os.environ.get("DRPT_COMPOSE_SEGS", "3").split(",")]
 BASE = os.environ.get("DRPT_COMPOSE_DIR",
                       f"/tmp/drpt_dsv2_compose_{FACT_ROWS}")
 
@@ -127,11 +138,14 @@ def main() -> int:
                 .option("logFile", log)
                 .load(os.path.join(BASE, "fact.parquet")))
 
+    seg_pred = ("d_seg = %d" % SEGS[0] if len(SEGS) == 1
+                else "d_seg IN (%s)" % ", ".join(map(str, SEGS)))
+
     def run(fact_df, config):
         e = Engine(spark, BASE, config)
         j = e.reduce_and_join(
             {"f": Rel("fact", df=fact_df), "m": "mid",
-             "d": Rel("dim", f"d_seg = 3")},
+             "d": Rel("dim", seg_pred)},
             [("f", "m", "f_mk", "m_mk"), ("m", "d", "m_dk", "d_dk")])
         return (j.groupBy("f_cat")
                 .agg(F.count(F.lit(1)).alias("cnt"),
@@ -195,6 +209,7 @@ def main() -> int:
     out = {
         "suite": "dsv2-transfer-compose",
         "cold_io": cold,
+        "kept_segments": SEGS, "n_segments": N_SEG,
         "fact_rows": FACT_ROWS, "mid_rows": MID_ROWS, "dim_rows": DIM_ROWS,
         "filter_called": bool(audit),
         "row_groups_before": pr.get("row_groups_before"),
