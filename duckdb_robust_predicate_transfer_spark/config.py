@@ -50,6 +50,21 @@ class RPTConfig:
     use_sketch: bool = False
     sketch_threshold_rows: int = 4_000_000
     sketch_fpp: float = 0.01
+    #: auto-escalate to the sketch tier when the exact key set is too big
+    #: to broadcast (est > broadcast_key_rows): the shuffle-tier semi join
+    #: re-shuffles the ENTIRE probe (its dominant cost — TPCH_SCALE_X1000
+    #: r05 measured Q3/Q8/Q9 rpt at 0.82-0.86x of off from exactly this),
+    #: while the bitmap rides a broadcast and the membership test fuses
+    #: into the probe's scan stage — the reference's PTBloomFilter role:
+    #: its filters NEVER shuffle the probe (physical_use_bf.cpp:128-190).
+    #: False positives are safe (the final join stays exact).
+    sketch_auto: bool = True
+    #: ...but only up to this many estimated build keys: the bitmap is
+    #: m = NextPow2(12 bits/key), so 64M keys -> 128 MB broadcast — about
+    #: the ceiling where shipping it to every executor still beats a
+    #: probe-wide shuffle. Beyond, the exact shuffle-tier semi join
+    #: remains the right tool (bloom.py module docstring).
+    sketch_max_keys: int = 64_000_000
     #: skip transfer from build sides estimated larger than this unless they
     #: carry a filter (bounded-downside gate; the Robust paper's point)
     max_unfiltered_build_rows: int = 50_000_000

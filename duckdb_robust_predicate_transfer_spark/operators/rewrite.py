@@ -229,6 +229,25 @@ def _range_pred(build_ranges: dict, op: TransferOp,
     return pred
 
 
+def _sketch_tier(cfg, est: float) -> bool:
+    """Does this build ship as a Bloom bitmap instead of exact keys?
+
+    Two routes: the explicit opt-in (``use_sketch`` above
+    ``sketch_threshold_rows``, the q_sketch_transfer surface) and the
+    default auto-escalation (``sketch_auto``) for builds whose exact key
+    set is too big to broadcast — there the alternative is a shuffled
+    semi join that re-shuffles the whole probe, the measured
+    TPCH_SCALE_X1000 Q3/Q8/Q9 downside, while the bitmap's membership
+    test fuses into the probe scan (the reference's PTBloomFilter never
+    shuffles the probe, physical_use_bf.cpp:128-190). Capped at
+    ``sketch_max_keys``: an unknown (inf) or huge estimate keeps the
+    exact tier."""
+    if cfg.use_sketch and est > cfg.sketch_threshold_rows:
+        return True
+    return (cfg.sketch_auto and cfg.broadcast_key_rows < est
+            and est <= cfg.sketch_max_keys)
+
+
 def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                    plan: TransferPlan, cfg: RPTConfig,
                    probe_paths: dict | None = None,
@@ -348,7 +367,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         #     bitmap broadcast has no driver hash relation — both exempt.
         if (cfg.bf_benefit_probe_ratio > 0 and cfg.filter_type != "minmax_only"
                 and est <= cfg.broadcast_key_rows
-                and not (cfg.use_sketch and est > cfg.sketch_threshold_rows)):
+                and not _sketch_tier(cfg, est)):
             pre = rows_pre.get(op.build, est)
             if (pre > cfg.bf_cheap_keys
                     and rows_est.get(op.probe, float("inf"))
@@ -405,8 +424,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         # column-pruned recompute of the reduction lineage beats
         # materializing the build's full (wide) row payload.
         sketch_tier = (cfg.filter_type in ("all", "bf_only")
-                       and cfg.use_sketch
-                       and est > cfg.sketch_threshold_rows)
+                       and _sketch_tier(cfg, est))
         if (cfg.persist_reduced and op.build in reduced
                 and (est >= cfg.persist_min_rows
                      or op.build in multi_filter_builds)

@@ -97,6 +97,44 @@ def test_bloom_sketch_transfer_config(spark, sf_dir):
     assert a == b
 
 
+def test_sketch_auto_escalation(spark, sf_dir):
+    """A build too big to broadcast auto-takes the bitmap tier instead of
+    a shuffled semi join (TPCH_SCALE_X1000 Q3/Q8/Q9 fix): results match
+    off, and the probe plan carries the bit-test predicate, not a
+    LeftSemi join against the key set."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
+    from duckdb_robust_predicate_transfer_spark.operators.rewrite import (
+        _sketch_tier)
+
+    cfg = RPTConfig()
+    assert not _sketch_tier(cfg, cfg.broadcast_key_rows)         # exact
+    assert _sketch_tier(cfg, cfg.broadcast_key_rows + 1)         # bitmap
+    assert not _sketch_tier(cfg, cfg.sketch_max_keys + 1)        # shuffle
+    assert not _sketch_tier(cfg, float("inf"))                   # unknown
+
+    rels = {"l": "lineitem",
+            "o": Rel("orders", "o_orderstatus = 'F'"),
+            "c": "customer"}
+    edges = [("l", "o", "l_orderkey", "o_orderkey"),
+             ("o", "c", "o_custkey", "c_custkey")]
+    cols = ["l_orderkey", "l_linenumber"]
+    off = Engine(spark, sf_dir, RPTConfig(enabled=False))
+    # broadcast_key_rows=1 forces every build over the broadcast ceiling
+    auto = Engine(spark, sf_dir, RPTConfig(
+        broadcast_key_rows=1, filter_type="bf_only",
+        min_probe_rows=0, require_selective_build=False,
+        all_broadcast_bail_rows=0, max_build_keep_frac=1.0))
+    a = sorted(tuple(r)
+               for r in off.reduce_and_join(rels, edges).select(*cols).collect())
+    joined = auto.reduce_and_join(rels, edges)
+    b = sorted(tuple(r) for r in joined.select(*cols).collect())
+    assert a == b
+    plan = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "shiftright" in plan          # the fused bit test reached the scan
+    assert "LeftSemi" not in plan        # no shuffled key-set semi join
+
+
 def test_exact_dedup_keeps_one_per_hash(spark, sf_dir):
     from duckdb_robust_predicate_transfer_spark.operators.dedup import (
         exact_dedup)
