@@ -824,6 +824,65 @@ def q_token_regex_count(spark, sf_dir):
                     F.regexp_count("text", F.lit("[0-9]+")).alias("n_nums")))
 
 
+@query(
+    "q_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t.term AS term
+        FROM documents,
+             UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS t(term)
+        WHERE regexp_matches(t.term, '^[a-z]+$')
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf AS BIGINT) AS tf, CAST(dfreq.df AS BIGINT) AS df,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, dfreq.df ASC,
+                                           tf.term ASC) AS rk
+        FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tf, df,
+           ROUND(tf / CAST(df AS DOUBLE), 6) AS tfidf,
+           CAST(rk AS INT) AS rk
+    FROM scored WHERE rk <= 3
+    """,
+)
+def q_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 terms by tf-idf — the corpus-statistics shape
+    of training-data curation (domain keywords, boilerplate detection).
+
+    Two shuffle-on-key aggregations (term frequency per doc, document
+    frequency per term) and a key-partitioned join — every stage is
+    hash-distributed on its key, so the same plan runs at corpus scale
+    (no driver-side vocab). Ranking ties break on INTEGER columns
+    (tf desc, df asc, term asc), never on the float score: the reported
+    tfidf uses 1/df rarity (a single IEEE double division, bit-identical
+    across engines) rather than log-idf, so the oracle comparison is
+    exact; swapping in log(N/df) changes only the reported number, not
+    the plan."""
+    e = eng(spark, sf_dir)
+    toks = (e.table("documents")
+            .select("doc_id",
+                    F.explode(F.split(F.lower(F.col("text")), " ", -1))
+                    .alias("term"))
+            .filter(F.col("term").rlike("^[a-z]+$")))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    w = (Window.partitionBy("doc_id")
+         .orderBy(F.desc("tf"), F.asc("df"), F.asc("term")))
+    return (tf.join(dfreq, "term")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("doc_id", "term", "tf", "df",
+                    F.round(F.col("tf") / F.col("df").cast("double"), 6)
+                    .alias("tfidf"),
+                    F.col("rk").cast("int").alias("rk")))
+
+
 #: DuckDB twin of operators/dedup.HASHERS["md5_64"]: 60-bit BIGINT from
 #: the first 15 md5 hex chars — bit-identical to Spark's
 #: cast(conv(substring(md5(s),1,15),16,10) as bigint) (verified)
