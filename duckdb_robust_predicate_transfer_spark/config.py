@@ -51,14 +51,17 @@ class RPTConfig:
     sketch_threshold_rows: int = 4_000_000
     sketch_fpp: float = 0.01
     #: auto-escalate to the sketch tier when the exact key set is too big
-    #: to broadcast (est > broadcast_key_rows): the shuffle-tier semi join
-    #: re-shuffles the ENTIRE probe (its dominant cost — TPCH_SCALE_X1000
-    #: r05 measured Q3/Q8/Q9 rpt at 0.82-0.86x of off from exactly this),
-    #: while the bitmap rides a broadcast and the membership test fuses
-    #: into the probe's scan stage — the reference's PTBloomFilter role:
-    #: its filters NEVER shuffle the probe (physical_use_bf.cpp:128-190).
-    #: False positives are safe (the final join stays exact).
-    sketch_auto: bool = True
+    #: to broadcast (est > broadcast_key_rows), replacing the shuffled
+    #: semi join with a bitmap fused into the probe scan. MEASURED OFF by
+    #: default: at TPCH_SCALE x300 the escalation lifted Q9/Q10 by ~5%
+    #: but cost the flagship wins Q7 1.10->0.76 and Q5 1.88->1.49 —
+    #: the bitmap build's explode(3x) + per-word partial-agg shuffle can
+    #: EXCEED the exact tier's distinct shuffle once the build lineage is
+    #: tens of millions of rows, and the eager build job forfeits AQE's
+    #: integrated replanning of the lazy semi join. Keep for forced
+    #: configs; revisit with a cost model that prices the bitmap-build
+    #: shuffle (partitions x m/64 words) against the probe shuffle saved.
+    sketch_auto: bool = False
     #: ...but only up to this many estimated build keys: the bitmap is
     #: m = NextPow2(12 bits/key), so 64M keys -> 128 MB broadcast — about
     #: the ceiling where shipping it to every executor still beats a

@@ -107,11 +107,12 @@ def test_sketch_auto_escalation(spark, sf_dir):
     from duckdb_robust_predicate_transfer_spark.operators.rewrite import (
         _sketch_tier)
 
-    cfg = RPTConfig()
+    cfg = RPTConfig(sketch_auto=True)
     assert not _sketch_tier(cfg, cfg.broadcast_key_rows)         # exact
     assert _sketch_tier(cfg, cfg.broadcast_key_rows + 1)         # bitmap
     assert not _sketch_tier(cfg, cfg.sketch_max_keys + 1)        # shuffle
     assert not _sketch_tier(cfg, float("inf"))                   # unknown
+    assert not _sketch_tier(RPTConfig(), cfg.broadcast_key_rows + 1)
 
     rels = {"l": "lineitem",
             "o": Rel("orders", "o_orderstatus = 'F'"),
@@ -122,7 +123,7 @@ def test_sketch_auto_escalation(spark, sf_dir):
     off = Engine(spark, sf_dir, RPTConfig(enabled=False))
     # broadcast_key_rows=1 forces every build over the broadcast ceiling
     auto = Engine(spark, sf_dir, RPTConfig(
-        broadcast_key_rows=1, filter_type="bf_only",
+        sketch_auto=True, broadcast_key_rows=1, filter_type="bf_only",
         min_probe_rows=0, require_selective_build=False,
         all_broadcast_bail_rows=0, max_build_keep_frac=1.0))
     a = sorted(tuple(r)
