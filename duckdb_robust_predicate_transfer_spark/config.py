@@ -93,6 +93,19 @@ class RPTConfig:
     #: broadcast the distinct key-set when its estimated rows are below this
     #: (otherwise let AQE decide)
     broadcast_key_rows: int = 2_000_000
+    #: observe (count) an UNREDUCED build whose estimate lands within
+    #: this factor above broadcast_key_rows before choosing its tier:
+    #: the fixed 0.2 filter-selectivity guess mis-tiers builds near the
+    #: broadcast boundary — TPCH_SCALE x300 Q10's 3-month date filter
+    #: keeps 3.8% of orders (observed 1.7M keys) but the 0.2 guess says
+    #: 9M, forcing a shuffled semi that re-shuffles the whole 60M-row
+    #: probe (measured rpt 0.79x of off) where a scan-fused broadcast
+    #: semi was available. The count is one scan+filter job (no shuffle,
+    #: no join lineage — reduced builds are excluded so the cascade's
+    #: wins never pay it), and the observed number then feeds every
+    #: later gate the way the reference's finalize-time cardinalities do
+    #: (table_manager.cpp:64-69). 0 disables.
+    observe_est_factor: float = 8.0
     #: a broadcast-tier exact-key build BELOW this many (pre-decay
     #: estimated) keys is "cheap": its driver hash relation builds in
     #: tens of ms and the op is near-free, so no benefit test applies.

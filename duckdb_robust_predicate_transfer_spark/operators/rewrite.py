@@ -314,6 +314,9 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                               or not cfg.require_selective_build)
                       else set()) for a in dfs}
 
+    #: builds whose rows were observed exactly this schedule (count paid)
+    observed: set = set()
+
     for op in plan.ops:
         build, probe = dfs[op.build], dfs[op.probe]
         est = rows_est.get(op.build, float("inf"))
@@ -321,6 +324,23 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         # 0. information gate: skip ops that provably cannot remove rows
         if not (info[op.build] - info[op.probe] - {op.probe}):
             continue
+
+        # 0b. near-boundary tier observation (config.observe_est_factor):
+        # a guessed estimate just above the broadcast ceiling may hide a
+        # genuinely broadcastable key set (x300 Q10: guess 9M, actual
+        # 1.7M — the difference between a scan-fused broadcast semi and
+        # re-shuffling the 60M-row probe). Pay one scan+filter count on
+        # UNREDUCED filtered builds only (a reduced build's lineage is a
+        # real join; its ops already run on observed/decayed figures),
+        # then let every gate below see the exact number.
+        if (cfg.observe_est_factor > 0 and op.build not in reduced
+                and op.build in filtered and op.build not in observed
+                and cfg.broadcast_key_rows < est
+                <= cfg.observe_est_factor * cfg.broadcast_key_rows):
+            observed.add(op.build)
+            est = float(build.count())
+            rows_est[op.build] = est
+            rows_pre[op.build] = est
 
         # bounded-downside gates — the robustness margin the reference
         # lacks (it always applies when >1 edge; its in-process filters
