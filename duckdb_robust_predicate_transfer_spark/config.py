@@ -52,13 +52,17 @@ class RPTConfig:
     sketch_fpp: float = 0.01
     #: auto-escalate to the sketch tier when the exact key set is too big
     #: to broadcast (est > broadcast_key_rows), replacing the shuffled
-    #: semi join with a bitmap fused into the probe scan. MEASURED OFF by
-    #: default: at TPCH_SCALE x300 the escalation lifted Q9/Q10 by ~5%
-    #: but cost the flagship wins Q7 1.10->0.76 and Q5 1.88->1.49 —
-    #: the bitmap build's explode(3x) + per-word partial-agg shuffle can
-    #: EXCEED the exact tier's distinct shuffle once the build lineage is
-    #: tens of millions of rows, and the eager build job forfeits AQE's
-    #: integrated replanning of the lazy semi join. Keep for forced
+    #: semi join with a bitmap fused into the probe scan. Default OFF:
+    #: an x300 A/B showed the escalation trading the flagship cascade
+    #: wins (Q5/Q7) for small Q9/Q10 gains — both A/B legs were later
+    #: found contaminated by concurrent verification jobs, but the
+    #: structural cost is real either way: the bitmap build's
+    #: explode(3x) + per-word partial-agg shuffle approaches the exact
+    #: tier's distinct shuffle once the build lineage is tens of
+    #: millions of rows, and the EAGER build job forfeits AQE's
+    #: integrated replanning of the lazy semi join. The near-boundary
+    #: observation gate (observe_est_factor) recovers the main loser
+    #: shapes by re-tiering them to broadcast instead. Keep for forced
     #: configs; revisit with a cost model that prices the bitmap-build
     #: shuffle (partitions x m/64 words) against the probe shuffle saved.
     sketch_auto: bool = False
