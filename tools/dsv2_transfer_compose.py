@@ -56,8 +56,14 @@ N_SEG = 16
 # (rpt_optimizer.cpp:1401-1501).
 SEGS = [int(s) for s in
         os.environ.get("DRPT_COMPOSE_SEGS", "3").split(",")]
+# v2 fixture: the fact carries an incompressible md5 pad that the query
+# aggregates. v1's three arithmetic columns delta/dictionary-encoded a
+# 100M-row fact into 357 MB — a sub-3s cold scan, so row-group pruning
+# had no IO to save and "cold" legs measured compute. The pad puts
+# ~3.3 GB behind the columns the query actually reads, the
+# wide-fact-scan regime remote storage lives in.
 BASE = os.environ.get("DRPT_COMPOSE_DIR",
-                      f"/tmp/drpt_dsv2_compose_{FACT_ROWS}")
+                      f"/tmp/drpt_dsv2_compose_v2_{FACT_ROWS}")
 
 
 def ensure_fixture(spark):
@@ -94,7 +100,8 @@ def ensure_fixture(spark):
         F.pmod(F.hash(F.col("id"), F.lit(7)), F.lit(MID_ROWS))
         .cast("long").alias("f_mk"),
         ((F.col("id") % 1000) / 10.0).alias("f_amount"),
-        (F.col("id") % 100).cast("int").alias("f_cat"))
+        (F.col("id") % 100).cast("int").alias("f_cat"),
+        F.md5(F.col("id").cast("string")).alias("f_pad"))
      # ~5M rows per range partition: a fixed 32 OOMed the 300M-row
      # build's per-task sorts under a 16g heap (32 concurrent
      # UnsafeExternalSorters); scaling keeps each sort bounded
@@ -154,7 +161,10 @@ def main() -> int:
                      # orders — the comparison must be exact
                      F.sum(F.col("f_amount").cast("decimal(18,4)"))
                      .alias("amt"),
-                     F.max("m_pad").alias("pad_max")))
+                     F.max("m_pad").alias("pad_max"),
+                     # reads the fact's incompressible pad column, so
+                     # every skipped row group is skipped IO
+                     F.max("f_pad").alias("fpad_max")))
 
     cold = os.environ.get("DRPT_COMPOSE_COLD", "") == "1"
 
