@@ -69,7 +69,10 @@ BASE = os.environ.get("DRPT_COMPOSE_DIR",
 def ensure_fixture(spark):
     from pyspark.sql import functions as F
 
-    marker = os.path.join(BASE, "_MARKER")
+    # versioned marker (ADVICE r4: a marker must encode what it
+    # certifies): v2 = the incompressible f_pad column exists, so a
+    # pinned DRPT_COMPOSE_DIR holding the v1 fixture regenerates
+    marker = os.path.join(BASE, "_MARKER_v2_pad")
     if os.path.exists(marker):
         return
     os.makedirs(BASE, exist_ok=True)
