@@ -127,6 +127,18 @@ class RPTConfig:
     #: 0 disables. Separates TPC-H Q3/Q8's paying-too-much ops (probe
     #: 4-12x keys) from Q5/cascade's structural wins (probe 10-130x).
     bf_benefit_probe_ratio: float = 8.0
+    #: skip shuffle-tier ops into probes with only ONE join-graph
+    #: neighbor: a shuffled semi join on the probe's only join key is
+    #: REDUNDANT with the final join — both shuffle the full probe by
+    #: that key and drop non-matching rows; the semi just does it one
+    #: extra time. The reference still wins on such edges because its
+    #: filter is scan-local (no shuffle, reduction lands BEFORE the
+    #: join's exchange) — in Spark only the broadcast/sketch tiers have
+    #: that property, and they remain eligible. Degree>=2 probes keep
+    #: shuffle-tier ops: the reduction feeds the probe's OTHER joins
+    #: (TPCH x1000: Q5/Q7 lineitem joins supplier too -> 1.15-1.19x
+    #: wins; Q3/Q10 lineitem joins only orders -> pure 15-20% loss).
+    skip_redundant_shuffle_semi: bool = True
     #: shuffle-tier ops (build keys too big to broadcast) only run when
     #: the build side is genuinely selective: estimated/observed build
     #: rows below this fraction of the build's raw footer rows. A build

@@ -457,9 +457,18 @@ class Engine:
 
         planning_ms = (_time.perf_counter() - t_plan) * 1e3
 
+        # join-graph degree (distinct neighbors) per alias: a shuffle-tier
+        # semi into a degree-1 probe is redundant with the final join on
+        # that same key (config.skip_redundant_shuffle_semi)
+        neighbors: dict = {}
+        for e in graph.edges:
+            neighbors.setdefault(e.left, set()).add(e.right)
+            neighbors.setdefault(e.right, set()).add(e.left)
+        degrees = {a: len(ns) for a, ns in neighbors.items()}
+
         res = apply_transfer(dfs, rows_est, filtered, plan, cfg,
                              probe_paths=paths, colocated=colocated,
-                             rows_base=rows_base)
+                             rows_base=rows_base, degrees=degrees)
         res.planning_ms = planning_ms
         if cfg.profiling:
             # the reference prints its per-op summary at QueryEnd when

@@ -252,7 +252,8 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                    plan: TransferPlan, cfg: RPTConfig,
                    probe_paths: dict | None = None,
                    colocated: dict | None = None,
-                   rows_base: dict | None = None) -> TransferResult:
+                   rows_base: dict | None = None,
+                   degrees: dict | None = None) -> TransferResult:
     """Execute the schedule over ``dfs`` (alias -> DataFrame), mutating a
     copy; returns reduced DataFrames plus optional per-step stats.
     ``probe_paths`` (alias -> parquet path) enables footer-range-aware
@@ -375,6 +376,21 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             base = rows_base.get(op.build, 0.0)
             if base > 0 and est >= cfg.max_build_keep_frac * base:
                 continue
+        # 2b2. a shuffle-tier semi into a degree-1 probe is redundant:
+        #      the probe's ONLY join is on these same keys, so the final
+        #      join's own exchange already partitions the full probe and
+        #      drops non-matching rows — the semi is that exchange run
+        #      twice. Only scan-local tiers (broadcast, sketch) can land
+        #      a reduction BEFORE the join's shuffle, the way the
+        #      reference's in-process filters always do. Measured at
+        #      TPCH_SCALE x1000: Q3/Q10 (lineitem joins only orders)
+        #      lose 15-20% on exactly this op, while Q5/Q7 (lineitem
+        #      also joins supplier) win 1.15-1.19x and keep theirs.
+        if (cfg.skip_redundant_shuffle_semi and degrees is not None
+                and est > cfg.broadcast_key_rows
+                and not _sketch_tier(cfg, est)
+                and degrees.get(op.probe, 0) <= 1):
+            continue
         # 2c. broadcast-tier benefit gate: BroadcastExchange collects the
         #     key set to the driver and builds the hash relation single-
         #     threaded, so a MID-SIZE key set (above bf_cheap_keys) is a

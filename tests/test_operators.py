@@ -136,6 +136,45 @@ def test_sketch_auto_escalation(spark, sf_dir):
     assert "LeftSemi" not in plan        # no shuffled key-set semi join
 
 
+def test_redundant_shuffle_semi_skipped_on_degree1_probe(spark, sf_dir):
+    """A shuffle-tier semi into a probe whose ONLY join-graph edge is to
+    the build duplicates the final join's own exchange — the gate must
+    skip it (Q3/Q10-at-x1000 shape), while scan-local tiers and
+    degree>=2 probes stay eligible."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
+
+    rels = {"l": "lineitem",
+            "o": Rel("orders", "o_orderstatus = 'F'"),
+            "c": Rel("customer", "c_custkey % 2 = 0")}
+    edges = [("l", "o", "l_orderkey", "o_orderkey"),
+             ("o", "c", "o_custkey", "c_custkey")]
+    base = dict(broadcast_key_rows=1, filter_type="bf_only",
+                min_probe_rows=0, require_selective_build=False,
+                all_broadcast_bail_rows=0, max_build_keep_frac=1.0,
+                observe_est_factor=0.0)
+
+    on = Engine(spark, sf_dir, RPTConfig(**base))
+    on.reduce(rels, edges)
+    # 'l' has one neighbor -> the o->l shuffle semi is redundant; the
+    # c->o hop stays ('o' joins both c and l)
+    probes_on = {op.probe for op in on.last_result.applied}
+    assert "l" not in probes_on and "o" in probes_on
+
+    off = Engine(spark, sf_dir,
+                 RPTConfig(skip_redundant_shuffle_semi=False, **base))
+    off.reduce(rels, edges)
+    assert "l" in {op.probe for op in off.last_result.applied}
+
+    a = sorted(tuple(r) for r in Engine(
+        spark, sf_dir, RPTConfig(enabled=False)).reduce_and_join(
+            rels, edges).select("l_orderkey", "l_linenumber").collect())
+    b = sorted(tuple(r) for r in Engine(
+        spark, sf_dir, RPTConfig(**base)).reduce_and_join(
+            rels, edges).select("l_orderkey", "l_linenumber").collect())
+    assert a == b
+
+
 def test_exact_dedup_keeps_one_per_hash(spark, sf_dir):
     from duckdb_robust_predicate_transfer_spark.operators.dedup import (
         exact_dedup)
