@@ -52,19 +52,19 @@ class RPTConfig:
     sketch_fpp: float = 0.01
     #: auto-escalate to the sketch tier when the exact key set is too big
     #: to broadcast (est > broadcast_key_rows), replacing the shuffled
-    #: semi join with a bitmap fused into the probe scan. Default OFF:
-    #: an x300 A/B showed the escalation trading the flagship cascade
-    #: wins (Q5/Q7) for small Q9/Q10 gains — both A/B legs were later
-    #: found contaminated by concurrent verification jobs, but the
-    #: structural cost is real either way: the bitmap build's
-    #: explode(3x) + per-word partial-agg shuffle approaches the exact
-    #: tier's distinct shuffle once the build lineage is tens of
-    #: millions of rows, and the EAGER build job forfeits AQE's
-    #: integrated replanning of the lazy semi join. The near-boundary
-    #: observation gate (observe_est_factor) recovers the main loser
-    #: shapes by re-tiering them to broadcast instead. Keep for forced
-    #: configs; revisit with a cost model that prices the bitmap-build
-    #: shuffle (partitions x m/64 words) against the probe shuffle saved.
+    #: semi join with a bitmap fused into the probe scan. Default OFF,
+    #: measured clean-room at x300 (warm session, interleaved
+    #: min-of-3, exclusive machine): sketch turns Q7's 1.30x win into a
+    #: 0.90x loss and costs Q5 1.61->1.46 and Q9 0.97->0.93, tying only
+    #: Q10 — the bitmap build's explode(3x) + per-word partial-agg
+    #: shuffle approaches the exact tier's distinct shuffle once the
+    #: build lineage is tens of millions of rows, and the EAGER build
+    #: job forfeits AQE's integrated replanning of the lazy semi join.
+    #: The near-boundary observation gate (observe_est_factor) and the
+    #: degree-1 redundancy gate (skip_redundant_shuffle_semi) cover the
+    #: loser shapes without this trade. Keep for forced configs;
+    #: revisit with a cost model that prices the bitmap-build shuffle
+    #: (partitions x m/64 words) against the probe shuffle saved.
     sketch_auto: bool = False
     #: ...but only up to this many estimated build keys: the bitmap is
     #: m = NextPow2(12 bits/key), so 64M keys -> 128 MB broadcast — about
