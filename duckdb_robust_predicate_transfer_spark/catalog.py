@@ -77,8 +77,31 @@ def _stat_span(lo, hi):
 import functools
 
 
-@functools.lru_cache(maxsize=4096)
+def _path_stamp(path: str) -> tuple:
+    """Cheap content fingerprint for footer-derived caches: (mtime_ns,
+    size) of the file, or of every *.parquet member for a directory.
+    Tools regenerate fixtures in place at fixed /tmp paths, so a cache
+    keyed by path alone would serve stale footer statistics for the
+    life of the process (ADVICE r5)."""
+    try:
+        if os.path.isdir(path):
+            import glob as _glob
+            return tuple(
+                (os.path.basename(f), s.st_mtime_ns, s.st_size)
+                for f in sorted(_glob.glob(os.path.join(path, "*.parquet")))
+                for s in (os.stat(f),))
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (0, 0)
+
+
 def parquet_col_clustering(path: str, column: str):
+    return _col_clustering_cached(path, column, _path_stamp(path))
+
+
+@functools.lru_cache(maxsize=4096)
+def _col_clustering_cached(path: str, column: str, _stamp: tuple):
     """How range-clustered are the row groups on ``column``?
 
     Returns avg(row-group span) / global span from footer statistics

@@ -144,27 +144,31 @@ class Engine:
             self._sync_native_rf(engaged=out is not None)
         return out if out is not None else df
 
-    #: conf value we overwrote when suppressing native bloom injection
-    #: (None = not currently suppressing)
-    _rf_stash: str | None = None
-
     def _sync_native_rf(self, engaged: bool) -> None:
         """One mechanism per edge (config.suppress_native_rf): disable
         Spark's runtime bloom injection while a rewritten query is the
         latest planned one; restore the session's value when a query
         runs un-rewritten. Only called on the enabled-rewrite path, so
         benchmark legs that drive the conf directly (rpt/native/off
-        ablations re-assert it before every leg) are never fought."""
+        ablations re-assert it before every leg) are never fought.
+
+        The stashed conf value lives ON the SparkSession object (not on
+        this Engine): the workload layer builds a fresh Engine per query
+        (workload/common.py), so instance state would die between the
+        engaged query that suppressed injection and the later
+        un-engaged query that must restore it (ADVICE r5)."""
         key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
         try:
             if engaged:
                 cur = self.spark.conf.get(key, "false")
                 if cur == "true":
-                    self._rf_stash = cur
+                    self.spark._drpt_rf_stash = cur
                     self.spark.conf.set(key, "false")
-            elif self._rf_stash is not None:
-                self.spark.conf.set(key, self._rf_stash)
-                self._rf_stash = None
+            else:
+                stash = getattr(self.spark, "_drpt_rf_stash", None)
+                if stash is not None:
+                    self.spark.conf.set(key, stash)
+                    self.spark._drpt_rf_stash = None
         except Exception:
             pass
 
@@ -178,22 +182,38 @@ class Engine:
         known = {t for t in TABLES
                  if os.path.exists(self.catalog.path(t))}
         # statement-level extraction cache: the join graph is a pure
-        # function of the query TEXT and the registered views (never of
-        # table contents), and the py4j analyzed-plan walk costs
-        # 30-170ms per statement — the entire rpt-vs-off gap on
-        # sub-second TPC-H queries (Q2/Q11/Q14/Q16/Q19 at x100). Every
-        # real engine caches this: DuckDB's prepared statements, Spark's
-        # own analysis cache. Sentinel-stores failures too (a bail must
-        # also be free on re-run).
-        ck = (query, frozenset(known))
+        # function of the query TEXT, the registered views, and their
+        # SCHEMAS (never of table contents), and the py4j analyzed-plan
+        # walk costs 30-170ms per statement — the entire rpt-vs-off gap
+        # on sub-second TPC-H queries (Q2/Q11/Q14/Q16/Q19 at x100).
+        # Every real engine caches this: DuckDB's prepared statements,
+        # Spark's own analysis cache. The key carries a per-table file
+        # fingerprint (path, mtime, size) so re-registering a same-named
+        # fixture with different columns cannot replay a stale graph
+        # (ADVICE r5). Shape bails (None) are sentinel-cached — a bail
+        # must also be free on re-run — but transient extraction
+        # failures are NOT (a one-off py4j hiccup must not disable the
+        # rewrite for the session).
+        from .plans.extract import TRANSIENT_BAIL
+
+        fp = []
+        for t in sorted(known):
+            p = self.catalog.path(t)
+            try:
+                st = os.stat(p)
+                fp.append((t, p, st.st_mtime_ns, st.st_size))
+            except OSError:
+                fp.append((t, p, 0, 0))
+        ck = (query, tuple(fp))
         if ck in _EXT_CACHE:
             ext = _EXT_CACHE[ck]
         else:
             ext = extract_join_graph(df, known)
-            if len(_EXT_CACHE) >= 256:
-                _EXT_CACHE.pop(next(iter(_EXT_CACHE)))
-            _EXT_CACHE[ck] = ext
-        if ext is None:
+            if ext is not TRANSIENT_BAIL:
+                if len(_EXT_CACHE) >= 256:
+                    _EXT_CACHE.pop(next(iter(_EXT_CACHE)))
+                _EXT_CACHE[ck] = ext
+        if ext is None or ext is TRANSIENT_BAIL:
             return None
         # correlated-scalar-subquery (DELIM) edges: the reference walks
         # LOGICAL_DELIM_JOIN as an edge source (rpt_optimizer.cpp:49-50)

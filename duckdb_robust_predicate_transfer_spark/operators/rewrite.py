@@ -401,6 +401,12 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         #     x100/x300, the r4 bounded-downside break). Minmax-only mode
         #     ships no keys, and the sketch tier's parallel JVM build +
         #     bitmap broadcast has no driver hash relation — both exempt.
+        #     Failing this gate suppresses ONLY the key-set tier: the
+        #     minmax tier ships two scalars per column (no driver hash
+        #     relation) and is separately payoff-checked below
+        #     (clustering + base-size bounds), so it must not be lost
+        #     with the keys (ADVICE r5).
+        suppress_bf = False
         if (cfg.bf_benefit_probe_ratio > 0 and cfg.filter_type != "minmax_only"
                 and est <= cfg.broadcast_key_rows
                 and not _sketch_tier(cfg, est)):
@@ -408,7 +414,9 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             if (pre > cfg.bf_cheap_keys
                     and rows_est.get(op.probe, float("inf"))
                     < cfg.bf_benefit_probe_ratio * pre):
-                continue
+                suppress_bf = True
+        if suppress_bf and cfg.filter_type == "bf_only":
+            continue  # no minmax tier to fall back to
         # 3. backward ops need an even bigger probe: the forward pass
         #    already reduced the root, so the marginal win is smaller
         if (op.phase == "backward"
@@ -576,7 +584,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             res.stats.append(st)
             continue
 
-        if not empty and cfg.filter_type in ("all", "bf_only"):
+        if not empty and not suppress_bf and cfg.filter_type in ("all", "bf_only"):
             ck = (op.build, op.build_cols, epochs.get(op.build, 0))
             cached = keys_cache.get(ck)
             if cached is None:

@@ -560,6 +560,14 @@ class _Walker:
         return sub
 
 
+#: returned (instead of None) when extraction failed for a reason that
+#: is NOT a property of the query shape — e.g. a transient py4j error.
+#: Callers treat it like None ("run un-rewritten") but must not cache
+#: it: a genuine unsupported-shape bail is permanent for the statement,
+#: a transient failure is not (ADVICE r5).
+TRANSIENT_BAIL = object()
+
+
 def extract_join_graph(df: DataFrame, known_tables: set) -> Extraction | None:
     """Best-effort join-graph extraction; None = run un-rewritten."""
     try:
@@ -586,4 +594,4 @@ def extract_join_graph(df: DataFrame, known_tables: set) -> Extraction | None:
     except _Unsupported:
         return None
     except Exception:
-        return None
+        return TRANSIENT_BAIL

@@ -49,6 +49,10 @@ def get_spark(app_name: str = "drpt-spark", master: str | None = None,
                 "false" if os.environ.get("DRPT_ARROW") == "0" else "true")
         .config("spark.driver.memory", os.environ.get("DRPT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # artifact hygiene (VERDICT r5 #2): stage-progress bars written
+        # to stdout interleave with, and corrupt, captured JSON lines
+        # from the tools/ harnesses — keep stdout machine-readable
+        .config("spark.ui.showConsoleProgress", "false")
         # saved (bucketed) tables land outside the repo; static conf, so
         # it must be set at session build
         .config("spark.sql.warehouse.dir",

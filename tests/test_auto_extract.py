@@ -503,3 +503,27 @@ def test_engaged_rewrite_suppresses_native_blooms(eng, spark, sf_dir):
         assert spark.conf.get(key) == "true"
     finally:
         spark.conf.set(key, prev)
+
+
+def test_native_rf_restore_across_engine_instances(spark, sf_dir):
+    """The suppression stash is SESSION-scoped, not Engine-scoped: the
+    workload layer builds a fresh Engine per query, so an engaged query
+    on one instance must have its conf restore fire on the next
+    un-engaged query even when that runs through a DIFFERENT instance
+    (ADVICE r5 — instance state silently left native blooms disabled
+    for the rest of the session)."""
+    key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    prev = spark.conf.get(key, "false")
+    spark.conf.set(key, "true")
+    try:
+        forced = Engine(spark, sf_dir, FORCE)
+        forced.sql(FLAGSHIP_SQL)
+        assert forced.last_sql_rewritten
+        assert spark.conf.get(key) == "false"
+        # fresh instance, un-engaged query: restore must still fire
+        other = Engine(spark, sf_dir, FORCE)
+        other.sql("SELECT COUNT(*) AS c FROM nation")
+        assert not other.last_sql_rewritten
+        assert spark.conf.get(key) == "true"
+    finally:
+        spark.conf.set(key, prev)

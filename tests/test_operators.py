@@ -65,7 +65,11 @@ def test_bloom_probe_without_arrow(spark, sf_dir):
     spark.conf.set(key, "false")
     try:
         bloom = build_bloom(orders, ["o_orderkey"], est_rows=5000)
-        assert all(type(w) is int for w in bloom.words)
+        # the sketch keeps its ndarray (no driver-side int list at build
+        # time); the plain-int conversion happens in probe_bloom's
+        # non-Arrow branch, which the probe below exercises
+        import numpy as _np
+        assert isinstance(bloom.words, _np.ndarray)
         li = cat.table("lineitem")
         n_bloom = probe_bloom(li, ["l_orderkey"], bloom).count()
     finally:

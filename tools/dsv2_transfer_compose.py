@@ -130,6 +130,10 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # artifact hygiene (VERDICT r5 #2): stage-progress bars on
+        # stdout corrupted the captured JSON artifact — keep stdout
+        # machine-readable; --json writes the file directly regardless
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.jars", JAR)
         .config("spark.driver.extraClassPath", JAR)
         .getOrCreate())
@@ -239,6 +243,16 @@ def main() -> int:
                           == rows["rpt_dsv2"]),
     }
     print(json.dumps(out), flush=True)
+    # write the artifact to a file directly (never rely on captured
+    # stdout, which Spark can interleave with progress/log lines)
+    out_json = None
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
+        if a == "--json" and i + 1 < len(argv):
+            out_json = argv[i + 1]
+    if out_json:
+        with open(out_json, "w") as fh:
+            json.dump(out, fh, indent=1)
     spark.stop()
     ok = (out["results_match"] and out["filter_called"]
           and (out["row_groups_after"] or 0) < (out["row_groups_before"] or 1))
