@@ -248,8 +248,22 @@ class Catalog:
     def row_count(self, name: str) -> int:
         return self.info(name).row_count
 
-    def register_views(self, names=TABLES) -> None:
-        for n in names:
+    def known_tables(self) -> set:
+        """Every table name this catalog can serve: the fixed fixture
+        set plus any other ``<name>.parquet`` in the directory. The
+        reference's TableManager registers whatever the binder resolved
+        (table_manager.cpp:41-62) — it is not limited to a benchmark
+        schema — so the SQL auto-transfer path must likewise see
+        fixture-local tables (e.g. the JOB-regime workload's dims)."""
+        import glob as _glob
+
+        found = {os.path.basename(p)[:-len(".parquet")]
+                 for p in _glob.glob(os.path.join(self.sf_dir, "*.parquet"))}
+        return set(TABLES) | found
+
+    def register_views(self, names=None) -> None:
+        for n in (names if names is not None
+                  else sorted(self.known_tables())):
             if os.path.exists(self.path(n)):
                 self.table(n).createOrReplaceTempView(n)
 

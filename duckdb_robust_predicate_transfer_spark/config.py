@@ -127,17 +127,21 @@ class RPTConfig:
     #: 0 disables. Separates TPC-H Q3/Q8's paying-too-much ops (probe
     #: 4-12x keys) from Q5/cascade's structural wins (probe 10-130x).
     bf_benefit_probe_ratio: float = 8.0
-    #: skip shuffle-tier ops into probes with only ONE join-graph
-    #: neighbor: a shuffled semi join on the probe's only join key is
-    #: REDUNDANT with the final join — both shuffle the full probe by
-    #: that key and drop non-matching rows; the semi just does it one
-    #: extra time. The reference still wins on such edges because its
+    #: skip shuffle-tier ops that cannot SAVE an exchange (gate 2b3):
+    #: a shuffled semi join exchanges the probe's full current rows by
+    #: the op keys — the very exchange the final probe<->build join
+    #: pays anyway — so it is redundant unless the probe also has a
+    #: DIFFERENT-key edge to a neighbor too big to broadcast (then the
+    #: reduction shrinks that second, otherwise-unavoidable shuffle of
+    #: the probe). The reference still wins on every edge because its
     #: filter is scan-local (no shuffle, reduction lands BEFORE the
     #: join's exchange) — in Spark only the broadcast/sketch tiers have
-    #: that property, and they remain eligible. Degree>=2 probes keep
-    #: shuffle-tier ops: the reduction feeds the probe's OTHER joins
-    #: (TPCH x1000: Q5/Q7 lineitem joins supplier too -> 1.15-1.19x
-    #: wins; Q3/Q10 lineitem joins only orders -> pure 15-20% loss).
+    #: that property, and they remain eligible. r5 shipped the degree-1
+    #: special case (Q3/Q10 at x1000: pure 15-20% loss); the r6
+    #: clean-room A/B generalized it — the no-shuffle-semi leg beat
+    #: full rpt on EVERY x1000 query with a live shuffle op, because
+    #: their probes' other joins are all broadcast dims (Q5 13.8->11.1s,
+    #: Q7 10.7->5.5s, Q8 13.6->10.3s; off 30.3/15.1/14.3s).
     skip_redundant_shuffle_semi: bool = True
     #: shuffle-tier ops (build keys too big to broadcast) only run when
     #: the build side is genuinely selective: estimated/observed build

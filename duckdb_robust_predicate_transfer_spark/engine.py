@@ -176,10 +176,9 @@ class Engine:
                            cfg: RPTConfig) -> "DataFrame | None":
         import os
 
-        from .catalog import TABLES
         from .plans.extract import extract_join_graph
 
-        known = {t for t in TABLES
+        known = {t for t in self.catalog.known_tables()
                  if os.path.exists(self.catalog.path(t))}
         # statement-level extraction cache: the join graph is a pure
         # function of the query TEXT, the registered views, and their
@@ -477,18 +476,26 @@ class Engine:
 
         planning_ms = (_time.perf_counter() - t_plan) * 1e3
 
-        # join-graph degree (distinct neighbors) per alias: a shuffle-tier
-        # semi into a degree-1 probe is redundant with the final join on
-        # that same key (config.skip_redundant_shuffle_semi)
+        # join-graph neighborhood per alias, with the key columns each
+        # edge uses on that alias: gate 2b3 keeps a shuffle-tier semi
+        # only when the probe has a DIFFERENT-key edge to a
+        # non-broadcastable neighbor (the reduction then shrinks a
+        # second, otherwise-unavoidable exchange of the probe)
         neighbors: dict = {}
+        neighbor_edges: dict = {}
         for e in graph.edges:
             neighbors.setdefault(e.left, set()).add(e.right)
             neighbors.setdefault(e.right, set()).add(e.left)
+            neighbor_edges.setdefault(e.left, []).append(
+                (e.right, tuple(e.left_cols)))
+            neighbor_edges.setdefault(e.right, []).append(
+                (e.left, tuple(e.right_cols)))
         degrees = {a: len(ns) for a, ns in neighbors.items()}
 
         res = apply_transfer(dfs, rows_est, filtered, plan, cfg,
                              probe_paths=paths, colocated=colocated,
-                             rows_base=rows_base, degrees=degrees)
+                             rows_base=rows_base, degrees=degrees,
+                             neighbor_edges=neighbor_edges)
         res.planning_ms = planning_ms
         if cfg.profiling:
             # the reference prints its per-op summary at QueryEnd when

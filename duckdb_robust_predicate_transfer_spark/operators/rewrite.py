@@ -253,7 +253,8 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                    probe_paths: dict | None = None,
                    colocated: dict | None = None,
                    rows_base: dict | None = None,
-                   degrees: dict | None = None) -> TransferResult:
+                   degrees: dict | None = None,
+                   neighbor_edges: dict | None = None) -> TransferResult:
     """Execute the schedule over ``dfs`` (alias -> DataFrame), mutating a
     copy; returns reduced DataFrames plus optional per-step stats.
     ``probe_paths`` (alias -> parquet path) enables footer-range-aware
@@ -261,7 +262,9 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
     (alias -> frozenset of bucket columns) marks relations whose join on
     those columns is already exchange-free — transfer along such an edge
     is skipped (Rel.colocated_on). ``rows_base`` (alias -> raw footer
-    rows, no filter guesses) feeds the shuffle-tier selectivity gate."""
+    rows, no filter guesses) feeds the shuffle-tier selectivity gate.
+    ``neighbor_edges`` (alias -> list of (neighbor alias, key cols on
+    this alias)) feeds the exchange-saving gate 2b3."""
     probe_paths = probe_paths or {}
     colocated = colocated or {}
     dfs = dict(dfs)
@@ -376,21 +379,35 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             base = rows_base.get(op.build, 0.0)
             if base > 0 and est >= cfg.max_build_keep_frac * base:
                 continue
-        # 2b2. a shuffle-tier semi into a degree-1 probe is redundant:
-        #      the probe's ONLY join is on these same keys, so the final
-        #      join's own exchange already partitions the full probe and
-        #      drops non-matching rows — the semi is that exchange run
-        #      twice. Only scan-local tiers (broadcast, sketch) can land
-        #      a reduction BEFORE the join's shuffle, the way the
-        #      reference's in-process filters always do. Measured at
-        #      TPCH_SCALE x1000: Q3/Q10 (lineitem joins only orders)
-        #      lose 15-20% on exactly this op, while Q5/Q7 (lineitem
-        #      also joins supplier) win 1.15-1.19x and keep theirs.
-        if (cfg.skip_redundant_shuffle_semi and degrees is not None
+        # 2b2/2b3. a shuffled semi never SAVES an exchange of the probe:
+        #      it shuffles the probe's full current rows by the op keys —
+        #      the same exchange the final probe<->build join pays — and
+        #      only reduces per-row work downstream. It is therefore
+        #      redundant unless the reduction reaches ANOTHER exchange:
+        #      the probe must have a different join edge (different keys,
+        #      different neighbor) whose other side is itself too big to
+        #      broadcast, i.e. the final plan will shuffle the probe
+        #      AGAIN and the semi shrinks that second shuffle. Only
+        #      scan-local tiers (broadcast, sketch) can land a reduction
+        #      BEFORE the first exchange, the way the reference's
+        #      in-process filters always do. r5 shipped the degree-1
+        #      special case (Q3/Q10); the r6 clean-room A/B generalized
+        #      it: on EVERY full-22 x1000 query with a shuffle-tier op
+        #      the no-shuffle-semi leg was faster (Q5 13.8->11.1s,
+        #      Q7 10.7->5.5s, Q8 13.6->10.3s, Q17 7.4->6.4s vs off
+        #      30.3/15.1/14.3/14.2) — their downstream joins are all
+        #      broadcast dims, so the "reduction feeds the probe's other
+        #      joins" rationale priced at zero exchanges saved.
+        if (cfg.skip_redundant_shuffle_semi
                 and est > cfg.broadcast_key_rows
-                and not _sketch_tier(cfg, est)
-                and degrees.get(op.probe, 0) <= 1):
-            continue
+                and not _sketch_tier(cfg, est)):
+            others = (neighbor_edges or {}).get(op.probe, [])
+            saves_exchange = any(
+                n != op.build and set(cols) != set(op.probe_cols)
+                and rows_est.get(n, float("inf")) > cfg.host_broadcast_rows
+                for n, cols in others)
+            if not saves_exchange:
+                continue
         # 2c. broadcast-tier benefit gate: BroadcastExchange collects the
         #     key set to the driver and builds the hash relation single-
         #     threaded, so a MID-SIZE key set (above bf_cheap_keys) is a

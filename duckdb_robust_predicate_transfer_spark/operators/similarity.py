@@ -52,13 +52,43 @@ def brute_force_topk(corpus: DataFrame, query_vec, id_col: str = "vec_id",
             .limit(k))
 
 
+#: plane-component derivations by hash tier. ``xxhash64`` is the
+#: production default (one JVM hash per (d, p)); ``md5_64`` is the
+#: engine-portable tier — bit-identical in DuckDB as
+#: ``('0x' || substr(md5(p || '_' || d || '_' || seed), 1, 15))::BIGINT``
+#: — the same pluggable-tier pattern the dedup operators use
+#: (operators/dedup.py HASHERS), which turned those queries
+#: oracle-bearing while keeping the fast tier plan-identical.
+PLANE_HASHERS = {
+    "xxhash64": lambda seed: (
+        f"(cast(pmod(xxhash64(d, p, {seed}), 100000) as double)"
+        f" / 100000.0 - 0.5)"),
+    "md5_64": lambda seed: (
+        f"(cast(cast(conv(substring(md5(concat(cast(p as string), '_',"
+        f" cast(d as string), '_', '{seed}')), 1, 15), 16, 10) as bigint)"
+        f" % 100000 as double) / 100000.0 - 0.5)"),
+}
+
+
+def plane_component_sql_duckdb(seed: int = 7) -> str:
+    """The md5_64 plane formula as DuckDB SQL over free variables
+    ``p``/``d`` — oracle twin of PLANE_HASHERS['md5_64']."""
+    return (f"((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR ||"
+            f" '_' || '{seed}'), 1, 15))::BIGINT % 100000)"
+            f" / 100000.0 - 0.5)")
+
+
 def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         n_planes: int = 16, seed: int = 7) -> DataFrame:
+                         n_planes: int = 16, seed: int = 7,
+                         hasher: str = "xxhash64") -> DataFrame:
     """(id, sig: bigint) — sign bits of `n_planes` pseudo-random
     hyperplane projections. Plane p's d-th component is derived from
     xxhash64(d, p, seed) mapped to [-0.5, 0.5): deterministic and
-    identical on every executor.
+    identical on every executor. ``hasher='md5_64'`` derives the same
+    shape of plane from md5 instead — reproducible in any engine with
+    md5 + string ops, which is what makes the LSH queries
+    oracle-bearing (PLANE_HASHERS).
 
     The plane matrix is materialized ONCE (a 1-row driver-side eval of
     the same hash formula) and embedded as literals: leaving the hash
@@ -68,8 +98,7 @@ def hyperplane_signature(df: DataFrame, id_col: str = "vec_id",
     spark = df.sparkSession
     head = df.select(F.size(vec_col)).first()
     dim = head[0] if head and head[0] else 1  # empty corpus: any plane
-    comp = (f"(cast(pmod(xxhash64(d, p, {seed}), 100000) as double)"
-            f" / 100000.0 - 0.5)")
+    comp = PLANE_HASHERS[hasher](seed)
     mat = spark.range(1).select(F.expr(
         f"transform(sequence(0, {n_planes - 1}), p ->"
         f" transform(sequence(0, {dim - 1}), d -> {comp}))")
@@ -144,12 +173,13 @@ def lsh_topk_batch(corpus: DataFrame, queries: DataFrame,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    qid_col: str = "qid", qvec_col: str = "qv",
                    k: int = 10, n_planes: int = 16, n_bands: int = 4,
-                   seed: int = 7) -> DataFrame:
+                   seed: int = 7, hasher: str = "xxhash64") -> DataFrame:
     """ANN top-k for a whole query set: corpus signatures computed once,
     query signatures broadcast, candidates = band-bucket join, exact
     rescore ranked per query. The candidate join replaces the batch
     brute-force cross product with |corpus| x avg-bucket-hits work."""
-    sigs = hyperplane_signature(corpus, id_col, vec_col, n_planes, seed)
+    sigs = hyperplane_signature(corpus, id_col, vec_col, n_planes, seed,
+                                hasher)
     r = n_planes // n_bands
     mask = (1 << r) - 1
     band_expr = (f"transform(sequence(0, {n_bands - 1}),"
@@ -166,7 +196,8 @@ def lsh_topk_batch(corpus: DataFrame, queries: DataFrame,
         F.col(qid_col).alias("__qid"),
         F.expr(f"transform({qvec_col}, x -> cast(x as float))")
         .alias(vec_col))
-    qbands = (hyperplane_signature(qs, "__qid", vec_col, n_planes, seed)
+    qbands = (hyperplane_signature(qs, "__qid", vec_col, n_planes, seed,
+                                   hasher)
               .withColumn("__qn", F.expr(en))
               .select("__qid", F.col(vec_col).alias("__qv"), "__qn",
                       F.posexplode(F.expr(band_expr))
@@ -239,12 +270,22 @@ def _centroid_argmax_expr(cent_rows, max_terms: int = 65536) -> "str | None":
 
 
 def ivf_centroids(corpus: DataFrame, id_col: str = "vec_id",
-                  vec_col: str = "embedding", n_centroids: int = 16
-                  ) -> DataFrame:
+                  vec_col: str = "embedding", n_centroids: int = 16,
+                  hasher: str = "xxhash64") -> DataFrame:
     """Deterministic IVF coarse quantizer: centroids are the vectors of
     the ``n_centroids`` smallest xxhash64(id) values — a stateless
     hash-sample standing in for k-means (at scale, swap in trained
-    centroids; the index layout below is unchanged)."""
+    centroids; the index layout below is unchanged).
+    ``hasher='md5_64'`` orders by (md5(id), id) instead — the
+    engine-portable sample DuckDB reproduces verbatim
+    (``ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT n``)."""
+    if hasher == "md5_64":
+        h = F.md5(F.col(id_col).cast("string"))
+        return (corpus.select(F.col(id_col).alias("centroid_id"),
+                              as_double(vec_col).alias("cd"),
+                              h.alias("__h"), F.col(id_col).alias("__i"))
+                .orderBy("__h", "__i").limit(n_centroids)
+                .drop("__h", "__i"))
     return (corpus.select(F.col(id_col).alias("centroid_id"),
                           as_double(vec_col).alias("cd"),
                           F.xxhash64(id_col).alias("__h"))
@@ -376,7 +417,8 @@ def ivf_topk_batch(corpus: DataFrame, queries: DataFrame,
                    qid_col: str = "qid", qvec_col: str = "qv",
                    k: int = 10, n_centroids: int = 16,
                    nprobe: int = 4, train_iters: int = 0,
-                   index: "tuple | None" = None) -> DataFrame:
+                   index: "tuple | None" = None,
+                   hasher: str = "xxhash64") -> DataFrame:
     """IVF approximate top-k for a whole query set with NO driver-side
     step (the single-query variant collects its probe list; this one
     ranks centroids per query inside the plan): queries x broadcast
@@ -392,7 +434,8 @@ def ivf_topk_batch(corpus: DataFrame, queries: DataFrame,
     else:
         cents = (ivf_train_centroids(corpus, id_col, vec_col, n_centroids,
                                      train_iters) if train_iters > 0
-                 else ivf_centroids(corpus, id_col, vec_col, n_centroids))
+                 else ivf_centroids(corpus, id_col, vec_col, n_centroids,
+                                    hasher))
     qd = queries.select(F.col(qid_col).alias("__qid"),
                         as_double(qvec_col).alias("qd"))
     wq = Window.partitionBy("__qid").orderBy(

@@ -239,11 +239,91 @@ def q_cosine_topk_batch(spark, sf_dir):
     return brute_force_topk_batch(corpus, queries, k=5)
 
 
-@query("q_ann_recall_lsh")  # approximate index metric => rows-only
+#: shared DuckDB CTE text for the md5_64 LSH signature pipeline
+#: (oracle twin of similarity.hyperplane_signature + the band split in
+#: lsh_topk_batch): 16 planes over dim 64, seed 7, 8 bands of 2 bits
+_LSH_SIG_CTES = """
+    planes AS (
+      SELECT p, list_transform(range(0, 64), d ->
+        ((('0x' || substr(md5(p::VARCHAR || '_' || d::VARCHAR || '_' ||
+           '7'), 1, 15))::BIGINT % 100000) / 100000.0 - 0.5)) AS pl
+      FROM generate_series(0, 15) t(p)
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+    ),
+    sigs AS (
+      SELECT c.vec_id,
+             BIT_OR(CASE WHEN list_dot_product(c.ed, pl.pl) > 0
+                    THEN (1::BIGINT << pl.p) ELSE 0 END) AS sig
+      FROM corpus c CROSS JOIN planes pl
+      GROUP BY c.vec_id
+    ),
+    bands AS (
+      SELECT vec_id, b AS band_id, (sig >> (b * 2)) & 3 AS band_val
+      FROM sigs CROSS JOIN generate_series(0, 7) t(b)
+    )
+"""
+
+
+@query(
+    "q_ann_recall_lsh",
+    # the WHOLE index build is deterministic on the md5_64 plane tier,
+    # so the recall of an approximate index becomes an exact quantity
+    # both engines agree on: same signatures, same band buckets, same
+    # candidates, same tie-broken top-10, same recall fraction
+    oracle=f"""
+    WITH {_LSH_SIG_CTES},
+    qs AS (SELECT vec_id AS qid, ed AS qd FROM corpus WHERE vec_id < 8),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 ROUND(list_dot_product(c.ed, q.qd)
+                   / (sqrt(list_dot_product(c.ed, c.ed))
+                      * sqrt(list_dot_product(q.qd, q.qd))), 6) DESC,
+                 c.vec_id) AS rn
+        FROM corpus c CROSS JOIN qs q WHERE c.vec_id >= 8) t
+      WHERE rn <= 10
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS qid, b.vec_id
+      FROM bands b JOIN bands q USING (band_id, band_val)
+      WHERE q.vec_id < 8 AND b.vec_id >= 8
+    ),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT cd.qid, cd.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY cd.qid ORDER BY
+                 ROUND(list_dot_product(co.ed, q.qd)
+                   / (sqrt(list_dot_product(co.ed, co.ed))
+                      * sqrt(list_dot_product(q.qd, q.qd))), 6) DESC,
+                 cd.vec_id) AS rn
+        FROM cand cd
+        JOIN corpus co ON co.vec_id = cd.vec_id
+        JOIN qs q ON q.qid = cd.qid) t
+      WHERE rn <= 10
+    ),
+    per_q AS (
+      SELECT e.qid, COUNT(*) AS n_exact,
+             COUNT(a.vec_id) AS n_hits
+      FROM exact e LEFT JOIN approx a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid
+    )
+    SELECT COUNT(*) AS n_queries,
+           ROUND(AVG(n_hits / n_exact), 6) AS mean_recall
+    FROM per_q
+    """,
+)
 def q_ann_recall_lsh(spark, sf_dir):
     """Recall@10 of the LSH-banded ANN index against the exact batch
     baseline, over 8 query vectors — the distributed index-quality
-    gauge (operators/similarity.py:ann_recall)."""
+    gauge (operators/similarity.py:ann_recall). Runs on the md5_64
+    plane tier (PLANE_HASHERS), which makes the approximate index
+    itself engine-portable and this recall metric ORACLE-BEARING —
+    the r5 dedup pluggable-tier pattern applied to ANN. The xxhash64
+    production tier is plan-identical."""
     from ..operators.similarity import (
         ann_recall, brute_force_topk_batch, lsh_topk_batch)
 
@@ -255,14 +335,95 @@ def q_ann_recall_lsh(spark, sf_dir):
     corpus = emb.filter(F.col("vec_id") >= 8)
     exact = brute_force_topk_batch(corpus, queries, k=10)
     approx = lsh_topk_batch(corpus, queries, k=10,
-                            n_planes=16, n_bands=8)
+                            n_planes=16, n_bands=8, hasher="md5_64")
     return ann_recall(exact, approx)
 
 
-@query("q_ann_recall_ivf")  # approximate index metric => rows-only
+@query(
+    "q_ann_recall_ivf",
+    # portable md5_64 centroid sample (ivf_centroids hasher tier) makes
+    # the IVF index deterministic across engines; the oracle re-derives
+    # assignment (argmax on dot/|c| — row norms cancel, matching
+    # ivf_assign's codegen'd literal argmax, ties to the LARGER
+    # centroid id), the per-query top-nprobe probe (full cosine, ties
+    # to the SMALLER centroid id, matching ivf_topk_batch) and the
+    # exact-rescore top-10, then the recall fraction
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+      WHERE vec_id >= 8
+    ),
+    qs AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qd
+      FROM embeddings WHERE vec_id < 8
+    ),
+    cents AS (
+      SELECT vec_id AS centroid_id, ed AS cd FROM corpus
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, k.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.ed, k.cd)
+                   / sqrt(list_dot_product(k.cd, k.cd)) DESC,
+                 k.centroid_id DESC) AS rn
+        FROM corpus c CROSS JOIN cents k) t
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT qid, qd, centroid_id FROM (
+        SELECT q.qid, q.qd, k.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 list_dot_product(q.qd, k.cd)
+                   / (sqrt(list_dot_product(q.qd, q.qd))
+                      * sqrt(list_dot_product(k.cd, k.cd))) DESC,
+                 k.centroid_id) AS rn
+        FROM qs q CROSS JOIN cents k) t
+      WHERE rn <= 6
+    ),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                 ROUND(list_dot_product(co.ed, p.qd)
+                   / (sqrt(list_dot_product(co.ed, co.ed))
+                      * sqrt(list_dot_product(p.qd, p.qd))), 6) DESC,
+                 a.vec_id) AS rn
+        FROM probe p
+        JOIN assign a USING (centroid_id)
+        JOIN corpus co ON co.vec_id = a.vec_id) t
+      WHERE rn <= 10
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 ROUND(list_dot_product(c.ed, q.qd)
+                   / (sqrt(list_dot_product(c.ed, c.ed))
+                      * sqrt(list_dot_product(q.qd, q.qd))), 6) DESC,
+                 c.vec_id) AS rn
+        FROM corpus c CROSS JOIN qs q) t
+      WHERE rn <= 10
+    ),
+    per_q AS (
+      SELECT e.qid, COUNT(*) AS n_exact, COUNT(a.vec_id) AS n_hits
+      FROM exact e LEFT JOIN approx a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid
+    )
+    SELECT COUNT(*) AS n_queries,
+           ROUND(AVG(n_hits / n_exact), 6) AS mean_recall
+    FROM per_q
+    """,
+)
 def q_ann_recall_ivf(spark, sf_dir):
     """Recall@10 of the fully-distributed batch IVF index (no driver
-    collect) against the exact batch baseline, over 8 query vectors."""
+    collect) against the exact batch baseline, over 8 query vectors.
+    The md5_64 centroid-sample tier (ivf_centroids hasher) makes the
+    index — and therefore this recall — identical in DuckDB, turning a
+    rows-only row ORACLE-BEARING; the xxhash64 production sample stays
+    plan-identical."""
     from ..operators.similarity import (
         ann_recall, brute_force_topk_batch, ivf_topk_batch)
 
@@ -274,7 +435,7 @@ def q_ann_recall_ivf(spark, sf_dir):
     corpus = emb.filter(F.col("vec_id") >= 8)
     exact = brute_force_topk_batch(corpus, queries, k=10)
     approx = ivf_topk_batch(corpus, queries, k=10,
-                            n_centroids=16, nprobe=6)
+                            n_centroids=16, nprobe=6, hasher="md5_64")
     return ann_recall(exact, approx)
 
 
@@ -1517,11 +1678,40 @@ def q_embed_neardup_lsh(spark, sf_dir):
                                 n_planes=16, n_bands=8)
 
 
-@query("q_ann_lsh_topk")  # approximate => rows-only
+@query(
+    "q_ann_lsh_topk",
+    # the md5_64 plane tier makes the banded candidate set — and so the
+    # approximate result itself — a deterministic quantity both engines
+    # compute identically (approximation != nondeterminism)
+    oracle=f"""
+    WITH {_LSH_SIG_CTES},
+    cand AS (
+      SELECT DISTINCT b.vec_id
+      FROM bands b JOIN bands q USING (band_id, band_val)
+      WHERE q.vec_id = 0 AND b.vec_id <> 0
+    ),
+    qv AS (SELECT ed AS qd FROM corpus WHERE vec_id = 0),
+    scored AS (
+      SELECT c.vec_id,
+             ROUND(list_dot_product(co.ed, q.qd)
+               / (sqrt(list_dot_product(co.ed, co.ed))
+                  * sqrt(list_dot_product(q.qd, q.qd))), 6) AS cos_sim
+      FROM cand c
+      JOIN corpus co ON co.vec_id = c.vec_id
+      CROSS JOIN qv q
+    )
+    SELECT vec_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored) t
+    WHERE rn <= 10
+    """,
+)
 def q_ann_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate nearest neighbours for one query vector.
     The query vector stays a DataFrame end-to-end (no .collect()): the
-    batch band-bucket path runs with a 1-row broadcast query set."""
+    batch band-bucket path runs with a 1-row broadcast query set. On
+    the md5_64 plane tier the whole bucket structure is engine-portable
+    — ORACLE-BEARING since r6 (previously rows-only)."""
     from ..operators.similarity import as_double, lsh_topk_batch
 
     e = eng(spark, sf_dir)
@@ -1529,7 +1719,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     q = (emb.filter(F.col("vec_id") == 0)
          .select(F.col("vec_id").alias("qid"), as_double().alias("qv")))
     return (lsh_topk_batch(emb.filter(F.col("vec_id") != 0), q,
-                           k=10, n_planes=16, n_bands=8)
+                           k=10, n_planes=16, n_bands=8, hasher="md5_64")
             .select("vec_id", "cos_sim")
             .orderBy(F.col("cos_sim").desc(), "vec_id"))
 

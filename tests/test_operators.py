@@ -141,10 +141,14 @@ def test_sketch_auto_escalation(spark, sf_dir):
 
 
 def test_redundant_shuffle_semi_skipped_on_degree1_probe(spark, sf_dir):
-    """A shuffle-tier semi into a probe whose ONLY join-graph edge is to
-    the build duplicates the final join's own exchange — the gate must
-    skip it (Q3/Q10-at-x1000 shape), while scan-local tiers and
-    degree>=2 probes stay eligible."""
+    """A shuffle-tier semi never saves an exchange of its probe (gate
+    2b3): it must be skipped unless the probe has a DIFFERENT-key edge
+    to a non-broadcastable neighbor whose final join would shuffle the
+    probe again. Degree-1 probes (Q3/Q10-at-x1000 shape) are the
+    special case; the r6 A/B generalized it to every probe whose other
+    joins are all broadcast (Q5/Q7/Q8 at x1000). host_broadcast_rows=0
+    here marks every neighbor as shuffle-join-able (no host hints), so
+    the degree-2 'o' probe keeps its hop while degree-1 'l' loses it."""
     from duckdb_robust_predicate_transfer_spark.config import RPTConfig
     from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
 
@@ -156,14 +160,25 @@ def test_redundant_shuffle_semi_skipped_on_degree1_probe(spark, sf_dir):
     base = dict(broadcast_key_rows=1, filter_type="bf_only",
                 min_probe_rows=0, require_selective_build=False,
                 all_broadcast_bail_rows=0, max_build_keep_frac=1.0,
-                observe_est_factor=0.0)
+                observe_est_factor=0.0, host_broadcast_rows=0)
 
     on = Engine(spark, sf_dir, RPTConfig(**base))
     on.reduce(rels, edges)
     # 'l' has one neighbor -> the o->l shuffle semi is redundant; the
-    # c->o hop stays ('o' joins both c and l)
+    # c->o hop stays ('o' joins both c and l, and with host hints off
+    # the o<->l join counts as a second exchange the semi can shrink)
     probes_on = {op.probe for op in on.last_result.applied}
     assert "l" not in probes_on and "o" in probes_on
+
+    # with host broadcast hints ON and every neighbor broadcastable at
+    # this SF, the generalized gate prices ZERO exchanges saved and
+    # skips the shuffle tier entirely (the r6 x1000 finding)
+    hb = Engine(spark, sf_dir, RPTConfig(**{**base,
+                                            "host_broadcast_rows":
+                                            1_000_000}))
+    hb.reduce(rels, edges)
+    assert not [op for op in hb.last_result.applied
+                if op.probe in ("l", "o")]
 
     off = Engine(spark, sf_dir,
                  RPTConfig(skip_redundant_shuffle_semi=False, **base))

@@ -1,0 +1,318 @@
+"""JOB-regime certification: string equi-keys, LIKE-heavy dim filters,
+multi-fact fanout around a shared dim — the reference's entire published
+workload shape (README.md:81-115, test_job_queries.sh:21-23: 113 IMDB
+join-order queries), which the TPC-H legs never exercise (integer keys,
+range-partitioned facts, BETWEEN filters).
+
+Fixture (DuckDB-generated, deterministic modulus arithmetic — no RNG):
+an IMDB-shaped schema with ALL join keys as strings:
+
+  title          NT rows   t_id PK, t_kind (10), t_year, t_title
+  company        NC rows   co_id PK, co_name (rare LIKE-able words at
+                           known frequencies), co_country
+  keyword        NK rows   kw_id PK, kw_word ('sequel' is one exact row)
+  person         NP rows   p_id PK, p_name
+  castinfo       F rows    ci_tid -> title, ci_pid -> person, ci_role
+  movie_company  F/4 rows  mc_tid -> title, mc_coid -> company, mc_note
+  movie_keyword  F/3 rows  mk_tid -> title, mk_kwid -> keyword
+
+Queries are JOB-style SQL texts (MIN aggregates over many-way joins
+with LIKE / IN / BETWEEN dim predicates), run through ``Engine.sql()``
+auto-extraction — the same entry the reference's optimizer hook rewrites
+— in four legs: off / rpt (transfer only) / native (Spark's runtime
+blooms, thresholds lowered so they genuinely fire below the 10GB gate)
+/ composed. Every query is oracle-checked against DuckDB ON THE SAME
+PARQUET at full scale before any timing.
+
+Run:  python -u tools/job_regime.py [--json OUT] [--runs N]
+Env:  DRPT_JOB_DIR  (default /tmp/drpt_job)
+      DRPT_JOB_FACT (castinfo rows, default 100_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT_DIR = os.environ.get("DRPT_JOB_DIR", "/tmp/drpt_job")
+FACT = int(os.environ.get("DRPT_JOB_FACT", 100_000_000))
+NT = max(1000, FACT // 40)      # titles
+NC = max(200, FACT // 200)      # companies
+NK = max(100, FACT // 700)      # keywords
+NP = max(500, FACT // 100)      # persons
+SHUFFLE = int(os.environ.get("DRPT_SHUFFLE_PARTITIONS", "64"))
+
+os.environ.setdefault("DRPT_DRIVER_MEM", "16g")
+
+#: word pools for LIKE-able payloads; frequencies are exact via modulus
+WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+
+
+def ensure_fixture() -> None:
+    import duckdb
+
+    tag = f"f{FACT}"
+    marker = os.path.join(OUT_DIR, f"_DONE_{tag}")
+    if os.path.exists(marker):
+        return
+    os.makedirs(OUT_DIR, exist_ok=True)
+    t0 = time.time()
+    con = duckdb.connect()
+    con.sql(f"SET threads={os.cpu_count()}")
+    wl = "[" + ", ".join(f"'{w}'" for w in WORDS) + "]"
+
+    def copy(sql: str, name: str) -> None:
+        con.sql(f"COPY ({sql}) TO '{OUT_DIR}/{name}.parquet' "
+                f"(FORMAT PARQUET, ROW_GROUP_SIZE 1048576)")
+
+    # dims: string PKs; names mix pool words with RARE marker words at
+    # exact frequencies so LIKE predicates have known selectivities
+    copy(f"""
+      SELECT 't_' || lpad(i::VARCHAR, 9, '0') AS t_id,
+             'kind_' || (i % 10) AS t_kind,
+             1950 + (i * 37 % 70) AS t_year,
+             'The ' || list_extract({wl}, 1 + i % 20) || ' ' ||
+             list_extract({wl}, 1 + (i // 7) % 20) ||
+             CASE WHEN i % 50 = 7 THEN ' Returns' ELSE '' END AS t_title
+      FROM generate_series(1, {NT}) s(i)""", "title")
+    copy(f"""
+      SELECT 'co_' || lpad(i::VARCHAR, 7, '0') AS co_id,
+             CASE WHEN i % 100 = 3 THEN 'Warner '
+                  WHEN i % 100 = 4 THEN 'Universal '
+                  ELSE '' END ||
+             initcap(list_extract({wl}, 1 + i % 20)) || ' ' ||
+             initcap(list_extract({wl}, 1 + (i // 11) % 20)) ||
+             ' Pictures' AS co_name,
+             CASE WHEN i % 10 < 3 THEN '[us]'
+                  WHEN i % 10 < 5 THEN '[de]'
+                  WHEN i % 10 < 7 THEN '[fr]'
+                  ELSE '[' || list_extract({wl}, 1 + i % 13) || ']'
+             END AS co_country
+      FROM generate_series(1, {NC}) s(i)""", "company")
+    copy(f"""
+      SELECT 'kw_' || lpad(i::VARCHAR, 7, '0') AS kw_id,
+             CASE WHEN i = 77 THEN 'sequel'
+                  WHEN i = 78 THEN 'based-on-novel'
+                  WHEN i % 500 = 9 THEN 'character-name-in-title'
+                  ELSE list_extract({wl}, 1 + i % 20) || '-' ||
+                       (i % 997)::VARCHAR END AS kw_word
+      FROM generate_series(1, {NK}) s(i)""", "keyword")
+    copy(f"""
+      SELECT 'p_' || lpad(i::VARCHAR, 8, '0') AS p_id,
+             initcap(list_extract({wl}, 1 + i % 20)) || ', ' ||
+             initcap(list_extract({wl}, 1 + (i // 13) % 20)) AS p_name
+      FROM generate_series(1, {NP}) s(i)""", "person")
+    # facts: uniform string FKs by modulus (skew is certified separately
+    # in SKEW_r04; here the regime under test is key TYPE + fanout)
+    copy(f"""
+      SELECT i AS ci_id,
+             't_' || lpad((1 + (i * 13) % {NT})::VARCHAR, 9, '0') AS ci_tid,
+             'p_' || lpad((1 + (i * 7) % {NP})::VARCHAR, 8, '0') AS ci_pid,
+             'role_' || (i % 11) AS ci_role
+      FROM generate_series(1, {FACT}) s(i)""", "castinfo")
+    copy(f"""
+      SELECT 't_' || lpad((1 + (i * 17) % {NT})::VARCHAR, 9, '0') AS mc_tid,
+             'co_' || lpad((1 + (i * 5) % {NC})::VARCHAR, 7, '0') AS mc_coid,
+             CASE WHEN i % 20 = 3 THEN '(presents) (co-production)'
+                  WHEN i % 20 = 4 THEN '(as metro pictures)'
+                  ELSE '(' || (i % 1009)::VARCHAR || ')' END AS mc_note
+      FROM generate_series(1, {FACT // 4}) s(i)""", "movie_company")
+    copy(f"""
+      SELECT 't_' || lpad((1 + (i * 29) % {NT})::VARCHAR, 9, '0') AS mk_tid,
+             'kw_' || lpad((1 + (i * 3) % {NK})::VARCHAR, 7, '0') AS mk_kwid
+      FROM generate_series(1, {FACT // 3}) s(i)""", "movie_keyword")
+    open(marker, "w").close()
+    print(f"# fixture: castinfo={FACT} at {OUT_DIR} "
+          f"in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
+
+
+#: JOB-style query texts — MIN() aggregates, string equi-joins,
+#: LIKE/IN/BETWEEN dim predicates, 2-6 join edges, two facts sharing
+#: the title dim (the 113-query workload's recurring shapes)
+QUERIES = {
+    # JOB 1a-shape: 2 edges, one LIKE-selective fact note + country dim
+    "jq1": """
+      SELECT MIN(t_title) AS min_title, MIN(t_year) AS min_year,
+             COUNT(*) AS n
+      FROM title, movie_company, company
+      WHERE mc_tid = t_id AND mc_coid = co_id
+        AND co_country = '[de]'
+        AND mc_note LIKE '%(presents)%'
+        AND t_year BETWEEN 2005 AND 2010
+    """,
+    # JOB 3b/4-shape: keyword exact + company LIKE, two facts on title
+    "jq2": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_keyword, keyword, movie_company, company
+      WHERE mk_tid = t_id AND mk_kwid = kw_id
+        AND mc_tid = t_id AND mc_coid = co_id
+        AND kw_word = 'sequel'
+        AND co_name LIKE '%Warner%'
+    """,
+    # deep fanout: three facts + three dims around title (6 edges)
+    "jq3": """
+      SELECT MIN(t_title) AS min_title, MIN(p_name) AS min_name,
+             COUNT(*) AS n
+      FROM title, castinfo, person, movie_keyword, keyword,
+           movie_company, company
+      WHERE ci_tid = t_id AND ci_pid = p_id
+        AND mk_tid = t_id AND mk_kwid = kw_id
+        AND mc_tid = t_id AND mc_coid = co_id
+        AND kw_word = 'based-on-novel'
+        AND co_country = '[us]'
+        AND p_name LIKE 'Zeta%'
+        AND t_kind IN ('kind_2', 'kind_5')
+    """,
+    # IN-list + year window + role filter, castinfo-heavy
+    "jq4": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, castinfo, person
+      WHERE ci_tid = t_id AND ci_pid = p_id
+        AND ci_role IN ('role_3', 'role_7')
+        AND p_name LIKE '%Kappa%'
+        AND t_year BETWEEN 1990 AND 1995
+        AND t_title LIKE '%Returns%'
+    """,
+}
+
+
+def _canon(rows) -> list:
+    out = []
+    for r in rows:
+        out.append(tuple(round(v, 6) if isinstance(v, float) else v
+                         for v in r))
+    return sorted(out)
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    out_json, runs = None, 3
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--json":
+            out_json = argv[i + 1]; i += 2
+        elif argv[i] == "--runs":
+            runs = int(argv[i + 1]); i += 2
+        else:
+            i += 1
+
+    ensure_fixture()
+
+    import duckdb
+
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine
+    from duckdb_robust_predicate_transfer_spark.session import get_spark
+    from duckdb_robust_predicate_transfer_spark.workload.common import (
+        count_native_blooms, set_native_rf)
+
+    spark = get_spark(app_name="drpt-job-regime",
+                      shuffle_partitions=SHUFFLE)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # -- correctness first: Spark (rpt ON, forced engagement irrelevant —
+    #    default gates) vs DuckDB on the same files, full scale ---------
+    con = duckdb.connect()
+    con.sql(f"SET threads={os.cpu_count()}")
+    for t in ("title", "company", "keyword", "person", "castinfo",
+              "movie_company", "movie_keyword"):
+        con.sql(f"CREATE VIEW {t} AS "
+                f"SELECT * FROM '{OUT_DIR}/{t}.parquet'")
+    oracle_ok: dict = {}
+    engaged: dict = {}
+    for name, sql in QUERIES.items():
+        e = Engine(spark, OUT_DIR)
+        got = _canon(tuple(r) for r in e.sql(sql).collect())
+        engaged[name] = bool(e.last_sql_rewritten)
+        want = _canon(con.sql(sql).fetchall())
+        oracle_ok[name] = (got == want)
+        print(f"# oracle {name}: match={oracle_ok[name]} "
+              f"engaged={engaged[name]} rows={got}",
+              file=sys.stderr, flush=True)
+
+    # -- timing: off / rpt / native / composed, rotated min-of-N -------
+    MODES = ("off", "rpt", "native", "composed")
+
+    def set_mode(mode: str) -> None:
+        import duckdb_robust_predicate_transfer_spark.workload.common as wc
+        wc.set_default_config(None)
+        set_native_rf(spark, mode in ("native", "composed"))
+
+    def leg(name: str, mode: str) -> float:
+        cfg = (RPTConfig() if mode in ("rpt", "composed")
+               else RPTConfig(enabled=False))
+        set_mode(mode)
+        try:
+            t = time.time()
+            Engine(spark, OUT_DIR, cfg).sql(QUERIES[name],
+                                            auto_rpt=cfg.enabled).collect()
+            return time.time() - t
+        finally:
+            set_native_rf(spark, False)
+            spark.catalog.clearCache()
+
+    blooms = {}
+    for name in QUERIES:
+        set_mode("native")
+        try:
+            blooms[name] = count_native_blooms(
+                Engine(spark, OUT_DIR,
+                       RPTConfig(enabled=False)).sql(QUERIES[name],
+                                                     auto_rpt=False))
+        except Exception:
+            blooms[name] = None
+        finally:
+            set_native_rf(spark, False)
+
+    best = {q: {m: math.inf for m in MODES} for q in QUERIES}
+    leg(next(iter(QUERIES)), "off")  # untimed warmup
+    for r_i in range(runs):
+        order = MODES[r_i % len(MODES):] + MODES[:r_i % len(MODES)]
+        for q in QUERIES:
+            for mode in order:
+                best[q][mode] = min(best[q][mode], leg(q, mode))
+        print(f"# run {r_i + 1}/{runs} done", file=sys.stderr, flush=True)
+
+    def geo(mode: str):
+        vals = [best[q][mode] for q in QUERIES
+                if math.isfinite(best[q][mode])]
+        if not vals:
+            return None
+        return round(math.exp(sum(math.log(v) for v in vals) / len(vals)), 3)
+
+    def _ratio(num, den):
+        return round(num / den, 3) if num and den else None
+
+    summary = {
+        "suite": "job-regime",
+        "fact_rows": FACT,
+        "dims": {"title": NT, "company": NC, "keyword": NK, "person": NP},
+        "runs": runs,
+        "shuffle_partitions": SHUFFLE,
+        "oracle_ok": oracle_ok,
+        "rpt_engaged": engaged,
+        "native_blooms_injected": blooms,
+        "geomean_sec": {m: geo(m) for m in MODES},
+        "rpt_vs_off_geomean": _ratio(geo("off"), geo("rpt")),
+        "rpt_vs_native_geomean": _ratio(geo("native"), geo("rpt")),
+        "composed_vs_off_geomean": _ratio(geo("off"), geo("composed")),
+        "per_query_sec": {q: {m: (None if best[q][m] is math.inf
+                                  else round(best[q][m], 3))
+                              for m in MODES} for q in QUERIES},
+    }
+    print(json.dumps(summary), flush=True)
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(summary, f, indent=1)
+    spark.stop()
+    return 0 if (all(oracle_ok.values()) and all(engaged.values())) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
