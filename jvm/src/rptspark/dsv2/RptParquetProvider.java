@@ -195,8 +195,12 @@ final class RptScan
   private final String[] filterCols;
   private final String logFile;
   private final boolean vectorized;
+  private final boolean rowFilter;
+  private final double rowFilterDisableAt;
+  private final long rowFilterObserve;
   private final List<RowGroupPartition> all;
   private List<RowGroupPartition> kept;
+  private final HashMap<String, long[]> rowSets = new HashMap<>();
   private final long totalBytes;
   private final long totalRows;
 
@@ -207,6 +211,17 @@ final class RptScan
     this.logFile = options.getOrDefault("logfile", "");
     this.vectorized =
         !"false".equalsIgnoreCase(options.getOrDefault("vectorized", "true"));
+    // in-scan row filtering (the reference's SelectivityOptionalFilter,
+    // physical_create_bf.cpp:324-329): rows whose key cannot be in the
+    // runtime key set are dropped BEFORE they reach the first exchange,
+    // and each task stops probing when the observed pass rate says the
+    // filter is not paying for itself
+    this.rowFilter =
+        !"false".equalsIgnoreCase(options.getOrDefault("rowfilter", "true"));
+    this.rowFilterDisableAt = Double.parseDouble(
+        options.getOrDefault("rowfilterdisableat", "0.75"));
+    this.rowFilterObserve = Long.parseLong(
+        options.getOrDefault("rowfilterobserve", "131072"));
     this.all = new ArrayList<>();
     long bytes = 0;
     long rows = 0;
@@ -272,7 +287,16 @@ final class RptScan
       // no active session (shouldn't happen on the driver) — the
       // reader falls back to explicit defaults for the known keys
     }
-    return new RptReaderFactory(schema, vectorized, sqlConf);
+    // the LIVE rowSets reference, not a snapshot: BatchScanExec forces
+    // readerFactory during PLANNING (its supportsColumnar check), which
+    // is before filter() delivers the runtime key set. The factory is
+    // only serialized to tasks at job submission — after filter() has
+    // populated the map — so the readers see the final contents; if a
+    // plan ever executes without runtime filters the map is just empty
+    // and the scan stays a plain pruned scan
+    return new RptReaderFactory(schema, vectorized, sqlConf,
+        rowFilter ? rowSets : new HashMap<>(),
+        rowFilterDisableAt, rowFilterObserve, logFile);
   }
 
   @Override
@@ -314,6 +338,17 @@ final class RptScan
       }
       if (!allNumeric || vals.isEmpty()) {
         continue;
+      }
+      if (rowFilter) {
+        // keep the exact key set for per-row probing in the readers —
+        // a sorted primitive array: binary-search probes, no boxing,
+        // serialized once per stage inside the reader factory
+        long[] arr = new long[vals.size()];
+        int j = 0;
+        for (long v : vals) {
+          arr[j++] = v;
+        }
+        rowSets.put(col, arr);
       }
       List<RowGroupPartition> next = new ArrayList<>();
       long rowsBefore = 0;
@@ -399,12 +434,21 @@ final class RptReaderFactory implements PartitionReaderFactory {
   private final StructType schema;
   private final boolean vectorized;
   private final HashMap<String, String> sqlConf;
+  private final HashMap<String, long[]> rowSets;
+  private final double disableAt;
+  private final long observeRows;
+  private final String logFile;
 
   RptReaderFactory(StructType schema, boolean vectorized,
-      HashMap<String, String> sqlConf) {
+      HashMap<String, String> sqlConf, HashMap<String, long[]> rowSets,
+      double disableAt, long observeRows, String logFile) {
     this.schema = schema;
     this.vectorized = vectorized;
     this.sqlConf = sqlConf;
+    this.rowSets = rowSets;
+    this.disableAt = disableAt;
+    this.observeRows = observeRows;
+    this.logFile = logFile;
   }
 
   @Override
@@ -418,13 +462,245 @@ final class RptReaderFactory implements PartitionReaderFactory {
   @Override
   public PartitionReader<org.apache.spark.sql.vectorized.ColumnarBatch>
       createColumnarReader(InputPartition partition) {
-    return new VectorizedRowGroupReader((RowGroupPartition) partition, schema,
-        sqlConf);
+    VectorizedRowGroupReader inner = new VectorizedRowGroupReader(
+        (RowGroupPartition) partition, schema, sqlConf);
+    if (rowSets.isEmpty()) {
+      return inner;
+    }
+    AdaptiveRowFilterReader wrapped = AdaptiveRowFilterReader.tryWrap(
+        inner, schema, rowSets, disableAt, observeRows, logFile);
+    return wrapped != null ? wrapped : inner;
   }
 
   @Override
   public PartitionReader<InternalRow> createReader(InputPartition partition) {
     return new RowGroupReader((RowGroupPartition) partition, schema);
+  }
+}
+
+/**
+ * Per-row runtime key-set filtering inside the scan, with adaptive
+ * self-disable — the Spark counterpart of the reference wrapping its
+ * pushed Bloom filters in SelectivityOptionalFilter
+ * (physical_create_bf.cpp:324-329) so an unselective filter stops being
+ * applied mid-scan. Row groups that survive min/max pruning still hold
+ * rows the runtime IN-set rejects; dropping them HERE means they never
+ * enter the first exchange — the row-level reduction the engine's
+ * shuffle-semi tier used to buy with an extra exchange (gate 2b3 skips
+ * that tier precisely because the exchange out-costs it; this filter is
+ * exchange-free). Each task observes its own pass rate over the first
+ * {@code observeRows} rows and delivers raw batches from then on if the
+ * filter keeps more than {@code disableAt} of them: scan-local
+ * adaptivity, no coordination, exactly the reference's mechanism.
+ */
+final class AdaptiveRowFilterReader
+    implements PartitionReader<org.apache.spark.sql.vectorized.ColumnarBatch> {
+
+  private final PartitionReader<org.apache.spark.sql.vectorized.ColumnarBatch>
+      inner;
+  private final StructType schema;
+  private final int[] keyIdx;      // schema position of each filter column
+  private final long[][] keySets;  // sorted key arrays, same order
+  private final double disableAt;
+  private final long observeRows;
+  private final String logFile;
+
+  private long rowsSeen;
+  private long rowsPassed;
+  private boolean disabled;
+  private org.apache.spark.sql.vectorized.ColumnarBatch out;
+  private org.apache.spark.sql.execution.vectorized.OnHeapColumnVector[]
+      outVecs;
+
+  /** Returns null (no wrapping) unless every filter column is projected
+   * and every projected column has a compaction-supported flat type —
+   * unsupported shapes keep the plain pruned scan, never fail. */
+  static AdaptiveRowFilterReader tryWrap(
+      PartitionReader<org.apache.spark.sql.vectorized.ColumnarBatch> inner,
+      StructType schema, HashMap<String, long[]> rowSets, double disableAt,
+      long observeRows, String logFile) {
+    List<Integer> idx = new ArrayList<>();
+    List<long[]> sets = new ArrayList<>();
+    for (Map.Entry<String, long[]> e : rowSets.entrySet()) {
+      int at = -1;
+      for (int i = 0; i < schema.size(); i++) {
+        if (schema.fields()[i].name().equalsIgnoreCase(e.getKey())) {
+          at = i;
+          break;
+        }
+      }
+      if (at < 0) {
+        return null;  // key column pruned away: nothing to probe
+      }
+      DataType kt = schema.fields()[at].dataType();
+      if (!kt.equals(DataTypes.LongType) && !kt.equals(DataTypes.IntegerType)) {
+        return null;
+      }
+      idx.add(at);
+      sets.add(e.getValue());
+    }
+    for (StructField f : schema.fields()) {
+      if (!compactable(f.dataType())) {
+        return null;
+      }
+    }
+    int[] ki = new int[idx.size()];
+    long[][] ks = new long[sets.size()][];
+    for (int i = 0; i < ki.length; i++) {
+      ki[i] = idx.get(i);
+      ks[i] = sets.get(i);
+    }
+    return new AdaptiveRowFilterReader(inner, schema, ki, ks, disableAt,
+        observeRows, logFile);
+  }
+
+  private static boolean compactable(DataType t) {
+    return t.equals(DataTypes.LongType) || t.equals(DataTypes.IntegerType)
+        || t.equals(DataTypes.DoubleType) || t.equals(DataTypes.FloatType)
+        || t.equals(DataTypes.BooleanType) || t.equals(DataTypes.StringType)
+        || t.equals(DataTypes.DateType) || t.equals(DataTypes.TimestampType)
+        || t.equals(DataTypes.ShortType) || t.equals(DataTypes.ByteType);
+  }
+
+  private AdaptiveRowFilterReader(
+      PartitionReader<org.apache.spark.sql.vectorized.ColumnarBatch> inner,
+      StructType schema, int[] keyIdx, long[][] keySets, double disableAt,
+      long observeRows, String logFile) {
+    this.inner = inner;
+    this.schema = schema;
+    this.keyIdx = keyIdx;
+    this.keySets = keySets;
+    this.disableAt = disableAt;
+    this.observeRows = observeRows;
+    this.logFile = logFile;
+  }
+
+  @Override
+  public boolean next() throws IOException {
+    closeOut();
+    while (inner.next()) {
+      org.apache.spark.sql.vectorized.ColumnarBatch batch = inner.get();
+      if (disabled) {
+        out = batch;
+        return true;
+      }
+      int n = batch.numRows();
+      boolean[] keep = new boolean[n];
+      int passed = 0;
+      for (int r = 0; r < n; r++) {
+        boolean ok = true;
+        for (int k = 0; k < keyIdx.length && ok; k++) {
+          org.apache.spark.sql.vectorized.ColumnVector v =
+              batch.column(keyIdx[k]);
+          if (v.isNullAt(r)) {
+            ok = false;  // IN(null, ...) is never TRUE: the row cannot join
+          } else {
+            long key = v.dataType().equals(DataTypes.IntegerType)
+                ? v.getInt(r) : v.getLong(r);
+            ok = Arrays.binarySearch(keySets[k], key) >= 0;
+          }
+        }
+        keep[r] = ok;
+        if (ok) {
+          passed++;
+        }
+      }
+      rowsSeen += n;
+      rowsPassed += passed;
+      if (rowsSeen >= observeRows
+          && rowsPassed > disableAt * rowsSeen) {
+        // unselective: from here on the exchange/join above pays less
+        // than per-row probing costs — stop filtering for this task
+        disabled = true;
+      }
+      if (passed == n) {
+        out = batch;  // nothing to drop: zero-copy passthrough
+        return true;
+      }
+      if (passed == 0) {
+        continue;  // whole batch rejected: fetch the next one
+      }
+      out = compact(batch, keep, passed);
+      return true;
+    }
+    return false;
+  }
+
+  private org.apache.spark.sql.vectorized.ColumnarBatch compact(
+      org.apache.spark.sql.vectorized.ColumnarBatch batch, boolean[] keep,
+      int passed) {
+    int n = batch.numRows();
+    outVecs = org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+        .allocateColumns(passed, schema);
+    for (int c = 0; c < schema.size(); c++) {
+      org.apache.spark.sql.vectorized.ColumnVector src = batch.column(c);
+      org.apache.spark.sql.execution.vectorized.OnHeapColumnVector dst =
+          outVecs[c];
+      DataType t = schema.fields()[c].dataType();
+      int w = 0;
+      for (int r = 0; r < n; r++) {
+        if (!keep[r]) {
+          continue;
+        }
+        if (src.isNullAt(r)) {
+          dst.putNull(w++);
+          continue;
+        }
+        if (t.equals(DataTypes.LongType) || t.equals(DataTypes.TimestampType)) {
+          dst.putLong(w, src.getLong(r));
+        } else if (t.equals(DataTypes.IntegerType)
+            || t.equals(DataTypes.DateType)) {
+          dst.putInt(w, src.getInt(r));
+        } else if (t.equals(DataTypes.DoubleType)) {
+          dst.putDouble(w, src.getDouble(r));
+        } else if (t.equals(DataTypes.FloatType)) {
+          dst.putFloat(w, src.getFloat(r));
+        } else if (t.equals(DataTypes.BooleanType)) {
+          dst.putBoolean(w, src.getBoolean(r));
+        } else if (t.equals(DataTypes.ShortType)) {
+          dst.putShort(w, src.getShort(r));
+        } else if (t.equals(DataTypes.ByteType)) {
+          dst.putByte(w, src.getByte(r));
+        } else {  // StringType (tryWrap admitted nothing else)
+          byte[] b = src.getUTF8String(r).getBytes();
+          dst.putByteArray(w, b, 0, b.length);
+        }
+        w++;
+      }
+    }
+    return new org.apache.spark.sql.vectorized.ColumnarBatch(outVecs, passed);
+  }
+
+  private void closeOut() {
+    if (outVecs != null) {
+      for (org.apache.spark.sql.execution.vectorized.OnHeapColumnVector v
+          : outVecs) {
+        v.close();
+      }
+      outVecs = null;
+    }
+    out = null;
+  }
+
+  @Override
+  public org.apache.spark.sql.vectorized.ColumnarBatch get() {
+    return out;
+  }
+
+  @Override
+  public void close() throws IOException {
+    closeOut();
+    if (!logFile.isEmpty() && rowsSeen > 0) {
+      try (FileWriter w = new FileWriter(logFile, true)) {
+        w.write(String.format(
+            "{\"event\": \"row_filter\", \"rows_seen\": %d,"
+                + " \"rows_passed\": %d, \"adaptively_disabled\": %b}%n",
+            rowsSeen, rowsPassed, disabled));
+      } catch (IOException ignored) {
+        // best-effort audit, never fail the task
+      }
+    }
+    inner.close();
   }
 }
 

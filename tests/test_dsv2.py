@@ -103,3 +103,34 @@ def test_dsv2_nested_schema_reads_and_prunes():
     assert out["join_match"]
     assert out["filter_called"]
     assert out["row_groups_after"] < out["row_groups_before"]
+
+
+@pytest.mark.slow
+def test_dsv2_adaptive_row_filter():
+    """SelectivityOptionalFilter parity (physical_create_bf.cpp:324-329):
+    per-row in-scan probing of the runtime key set over an UNCLUSTERED
+    fact (zone maps powerless), exact results either way, and the
+    adaptive self-disable — zero tasks disable at 2% pass rate, every
+    observing task disables at ~90%."""
+    if shutil.which("javac") is None:
+        pytest.skip("no JDK: the optional DSv2 jar cannot be built")
+    env = dict(os.environ)
+    env.update({
+        "DRPT_ADAPT_FIX": "/tmp/drpt_dsv2_adapt_test_fix",
+        "DRPT_ADAPT_FACT_ROWS": "3000000",
+        "SPARK_GRAFT_CPUS": "8",
+    })
+    proc = subprocess.run(
+        [sys.executable, "-u",
+         os.path.join(REPO, "tools", "dsv2_adaptive.py")],
+        env=env, capture_output=True, text=True, timeout=420)
+    lines = [ln for ln in proc.stdout.splitlines()
+             if ln.startswith('{"suite"')]
+    assert lines, f"no result line; stderr tail: {proc.stderr[-2000:]}"
+    out = json.loads(lines[-1])
+    assert out["ok"], out
+    assert out["selective"]["pass_rate"] < 0.2
+    assert out["selective"]["tasks_disabled"] == 0
+    assert out["unselective"]["tasks_disabled"] > 0
+    assert out["selective"]["results_match"]
+    assert out["unselective"]["results_match"]

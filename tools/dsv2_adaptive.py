@@ -1,0 +1,177 @@
+"""Certify the DSv2 adaptive in-scan row filter (SelectivityOptionalFilter).
+
+The reference wraps every Bloom filter it pushes into a scan in
+``SelectivityOptionalFilter`` (physical_create_bf.cpp:324-329): the scan
+observes the filter's actual pass rate and stops applying it mid-query
+when it is not selective enough to pay for itself. The rptparquet DSv2
+source now carries the same mechanism at the same granularity: surviving
+row groups are probed PER ROW against the runtime IN-set (misses never
+reach the first exchange — the row-level reduction the engine's
+shuffle-semi tier used to buy with an extra exchange, which gate 2b3
+showed is a net loss), and each task self-disables when its observed
+pass rate exceeds rowFilterDisableAt (default 0.75).
+
+The fixture isolates the row filter: the fact is UNCLUSTERED on the join
+key, so footer min/max spans the whole key space in every row group and
+row-group pruning removes nothing — any in-scan reduction is the row
+filter's alone. Two regimes:
+
+  selective   dim keeps  2% of the key space -> the filter drops ~98% of
+              rows in-scan and must STAY engaged (no task disables)
+  unselective dim keeps 90% of the key space -> pass rate ~0.9 > 0.75,
+              every task must adaptively disable after its observation
+              window, and results must still be exact
+
+Checks per regime: results byte-identical across rowFilter on / off /
+native reader; the audit log proves per-task engagement and the
+disable decision. Timing is reported, not asserted — in a warm local
+single-stage broadcast join the filter mostly relocates work; its
+designed win is rows never entering an exchange.
+
+Run: python -u tools/dsv2_adaptive.py   (one JSON line; artifact
+committed as DSV2_ADAPTIVE_r{N}.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+JAR = os.path.join(REPO, "jvm", "rpt-dsv2.jar")
+FACT_ROWS = int(os.environ.get("DRPT_ADAPT_FACT_ROWS", 10_000_000))
+KEY_SPACE = max(FACT_ROWS // 50, 1000)
+FIX = os.environ.get("DRPT_ADAPT_FIX", f"/tmp/drpt_dsv2_adapt_{FACT_ROWS}")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def main() -> int:
+    if not os.path.exists(JAR):
+        subprocess.run(["bash", os.path.join(REPO, "jvm", "build.sh")],
+                       check=True)
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .appName("drpt-dsv2-adaptive")
+             .config("spark.driver.memory",
+                     os.environ.get("DRPT_DRIVER_MEM", "8g"))
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.jars", JAR)
+             .config("spark.driver.extraClassPath", JAR)
+             # deterministic runtime-filter planning for BOTH regimes:
+             # with useStats the optimizer may decline the unselective
+             # one, and this tool certifies the scan-side mechanism, not
+             # the planner's estimate
+             .config("spark.sql.optimizer.dynamicPartitionPruning.useStats",
+                     "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fact_dir = os.path.join(FIX, "fact.parquet")
+    dim_dir = os.path.join(FIX, "dim.parquet")
+    if not os.path.exists(os.path.join(fact_dir, "_SUCCESS")):
+        # UNCLUSTERED: f_mk is a hash of the row id, so every row group's
+        # [min,max] covers ~the whole key space and zone-map pruning is
+        # structurally useless here (the anti-fixture of
+        # dsv2_runtime_filter.py's clustered layout)
+        (spark.range(FACT_ROWS)
+         .select(F.pmod(F.hash(F.col("id"), F.lit(7)),
+                        F.lit(KEY_SPACE)).cast("bigint").alias("f_mk"),
+                 (F.col("id") % 9973).cast("double").alias("f_amount"))
+         .repartition(16)
+         .write.mode("overwrite")
+         .option("parquet.block.size", 8 * 1024 * 1024)
+         .parquet(fact_dir))
+        (spark.range(KEY_SPACE)
+         .select(F.col("id").alias("d_k"),
+                 # key percentile, used to carve selective/unselective sets
+                 (F.col("id") * 100 / KEY_SPACE).cast("int").alias("d_pct"))
+         .coalesce(1).write.mode("overwrite").parquet(dim_dir))
+
+    def run_regime(tag: str, pct_keep: int) -> dict:
+        log = os.path.join(FIX, f"prune_{tag}.log")
+        if os.path.exists(log):
+            os.remove(log)
+        dim = spark.read.parquet(dim_dir).filter(F.col("d_pct") < pct_keep)
+
+        def q(fact):
+            j = fact.join(dim, fact.f_mk == dim.d_k)
+            return j.agg(F.count(F.lit(1)).alias("cnt"),
+                         F.sum("f_amount").alias("amt"),
+                         F.sum("d_k").alias("dsum"))
+
+        fact_on = (spark.read.format("rptparquet")
+                   .option("filterColumns", "f_mk")
+                   .option("logFile", log).load(fact_dir))
+        fact_off = (spark.read.format("rptparquet")
+                    .option("filterColumns", "f_mk")
+                    .option("rowFilter", "false").load(fact_dir))
+        fact_native = spark.read.parquet(fact_dir)
+
+        legs = (("row_filter", fact_on), ("no_row_filter", fact_off),
+                ("native", fact_native))
+        rows, best = {}, {n: float("inf") for n, _ in legs}
+        q(fact_native).collect()  # warm page cache + codegen
+        for it in range(3):
+            rot = it % len(legs)
+            for name, fact in legs[rot:] + legs[:rot]:
+                t0 = time.time()
+                rows[name] = sorted(map(tuple, q(fact).collect()))
+                best[name] = min(best[name], time.time() - t0)
+
+        events = []
+        if os.path.exists(log):
+            with open(log) as fh:
+                events = [json.loads(ln) for ln in fh if ln.strip()]
+        rf = [e for e in events if e.get("event") == "row_filter"]
+        seen = sum(e["rows_seen"] for e in rf)
+        passed = sum(e["rows_passed"] for e in rf)
+        return {
+            "pct_keep": pct_keep,
+            "results_match": (rows["row_filter"] == rows["no_row_filter"]
+                              == rows["native"]),
+            "row_filter_tasks": len(rf),
+            "rows_seen": seen,
+            "rows_passed": passed,
+            "pass_rate": round(passed / seen, 4) if seen else None,
+            "tasks_disabled": sum(bool(e["adaptively_disabled"])
+                                  for e in rf),
+            "sec": {n: round(v, 3) for n, v in best.items()},
+        }
+
+    sel = run_regime("selective", 2)
+    uns = run_regime("unselective", 90)
+
+    # NOTE on tasks_disabled in the selective regime: pass_rate ~0.02 is
+    # far below the 0.75 threshold, so zero tasks may disable; in the
+    # unselective regime every task that saw a full observation window
+    # must have disabled.
+    ok = (sel["results_match"] and uns["results_match"]
+          and sel["row_filter_tasks"] > 0
+          and sel["pass_rate"] is not None and sel["pass_rate"] < 0.2
+          and sel["tasks_disabled"] == 0
+          and uns["row_filter_tasks"] > 0
+          and uns["tasks_disabled"] > 0)
+
+    out = {
+        "suite": "dsv2-adaptive-row-filter",
+        "fact_rows": FACT_ROWS,
+        "key_space": KEY_SPACE,
+        "disable_at": 0.75,
+        "selective": sel,
+        "unselective": uns,
+        "ok": ok,
+    }
+    print(json.dumps(out), flush=True)
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

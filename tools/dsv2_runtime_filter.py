@@ -147,7 +147,8 @@ def main() -> int:
     if os.path.exists(log):
         with open(log) as fh:
             audit = [json.loads(line) for line in fh if line.strip()]
-    pruned_groups = audit[-1] if audit else {}
+    prunes = [e for e in audit if e.get("event") == "runtime_filter"]
+    pruned_groups = prunes[-1] if prunes else {}
 
     out = {
         "suite": "dsv2-runtime-filter",
