@@ -362,6 +362,18 @@ class Engine:
         if self.last_result is not None:
             self.last_result.release()
             self.last_result = None
+        # cross-instance release: the workload layer builds a fresh
+        # Engine per query, so the PREVIOUS query's persists can belong
+        # to an Engine this instance never saw — stashed on the session
+        # (the _rf_stash pattern, ADVICE r5). Without it a long-lived
+        # session accumulates one query's persisted builds per
+        # execution, and CacheManager substitution plus storage-memory
+        # pressure make repeat timings bimodal (Q5 at x1000 measured
+        # 13 s with per-leg clearCache vs 32 s without).
+        prev = getattr(self.spark, "_drpt_prev_result", None)
+        if prev is not None:
+            prev.release()
+        self.spark._drpt_prev_result = None
 
         dfs: dict = {}
         nodes: list = []
@@ -502,6 +514,10 @@ class Engine:
             # rpt_profiling is set (rpt_profiling.hpp:114-216)
             print(res.format_profile())
         self.last_result = res
+        try:
+            self.spark._drpt_prev_result = res
+        except Exception:
+            pass
         return res.dfs
 
     # -- final-join composition -----------------------------------------

@@ -527,3 +527,29 @@ def test_native_rf_restore_across_engine_instances(spark, sf_dir):
         assert spark.conf.get(key) == "true"
     finally:
         spark.conf.set(key, prev)
+
+
+def test_persist_release_across_engine_instances(spark, sf_dir):
+    """Persisted build sides release when the NEXT query plans, even
+    through a different Engine instance (the workload layer builds a
+    fresh Engine per query). Instance-scoped release let a long-lived
+    session accumulate one query's persisted builds per execution —
+    CacheManager substitutes the leaked InMemoryRelations into later
+    plans and storage pressure makes repeat timings bimodal (Q5 at
+    x1000: 13 s with per-leg clearCache vs 32 s without)."""
+    e1 = Engine(spark, sf_dir, FORCE)
+    e1.sql(FLAGSHIP_SQL)
+    assert e1.last_sql_rewritten
+    assert e1.last_result is not None and e1.last_result.persisted
+    held = list(e1.last_result.persisted)
+    # fresh instance, next query plans: e1's persists must unpersist.
+    # The second query must differ (EUROPE vs ASIA): with an identical
+    # text e2 re-persists plan-identical builds and CacheManager matches
+    # the held DataFrames to e2's fresh entries, masking the check.
+    e2 = Engine(spark, sf_dir, FORCE)
+    e2.sql(FLAGSHIP_SQL.replace("'ASIA'", "'EUROPE'"))
+    assert e2.last_sql_rewritten
+    assert not e1.last_result.persisted, "session stash release missed"
+    for df in held:
+        assert not df.storageLevel.useMemory, (
+            "previous query's persisted build leaked across instances")
