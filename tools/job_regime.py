@@ -71,12 +71,20 @@ def ensure_fixture() -> None:
         con.sql(f"COPY ({sql}) TO '{OUT_DIR}/{name}.parquet' "
                 f"(FORMAT PARQUET, ROW_GROUP_SIZE 1048576)")
 
+    def cap(expr: str) -> str:
+        # DuckDB ships no initcap(); capitalize the first letter by hand
+        return f"(upper(substr({expr}, 1, 1)) || substr({expr}, 2))"
+
+    cap1 = cap(f"list_extract({wl}, 1 + i % 20)")
+    cap2 = cap(f"list_extract({wl}, 1 + (i // 11) % 20)")
+    cap3 = cap(f"list_extract({wl}, 1 + (i // 13) % 20)")
+
     # dims: string PKs; names mix pool words with RARE marker words at
     # exact frequencies so LIKE predicates have known selectivities
     copy(f"""
       SELECT 't_' || lpad(i::VARCHAR, 9, '0') AS t_id,
              'kind_' || (i % 10) AS t_kind,
-             1950 + (i * 37 % 70) AS t_year,
+             1950 + (hash(i + 31337) % 70) AS t_year,
              'The ' || list_extract({wl}, 1 + i % 20) || ' ' ||
              list_extract({wl}, 1 + (i // 7) % 20) ||
              CASE WHEN i % 50 = 7 THEN ' Returns' ELSE '' END AS t_title
@@ -86,8 +94,8 @@ def ensure_fixture() -> None:
              CASE WHEN i % 100 = 3 THEN 'Warner '
                   WHEN i % 100 = 4 THEN 'Universal '
                   ELSE '' END ||
-             initcap(list_extract({wl}, 1 + i % 20)) || ' ' ||
-             initcap(list_extract({wl}, 1 + (i // 11) % 20)) ||
+             {cap1} || ' ' ||
+             {cap2} ||
              ' Pictures' AS co_name,
              CASE WHEN i % 10 < 3 THEN '[us]'
                   WHEN i % 10 < 5 THEN '[de]'
@@ -105,27 +113,31 @@ def ensure_fixture() -> None:
       FROM generate_series(1, {NK}) s(i)""", "keyword")
     copy(f"""
       SELECT 'p_' || lpad(i::VARCHAR, 8, '0') AS p_id,
-             initcap(list_extract({wl}, 1 + i % 20)) || ', ' ||
-             initcap(list_extract({wl}, 1 + (i // 13) % 20)) AS p_name
+             {cap1} || ', ' ||
+             {cap3} AS p_name
       FROM generate_series(1, {NP}) s(i)""", "person")
-    # facts: uniform string FKs by modulus (skew is certified separately
-    # in SKEW_r04; here the regime under test is key TYPE + fanout)
+    # facts: uniform string FKs via hash(i)+salt (skew is certified
+    # separately in SKEW_r04; the regime under test is key TYPE +
+    # fanout). LINEAR maps (i*k % N) are out: a fact predicate that
+    # fixes i's residue (mc_note's i%20) pins the dim index's residue
+    # through any congruence, and the conjunction with a dim predicate
+    # on the same residue class (co_country's j%10) goes empty
     copy(f"""
       SELECT i AS ci_id,
-             't_' || lpad((1 + (i * 13) % {NT})::VARCHAR, 9, '0') AS ci_tid,
-             'p_' || lpad((1 + (i * 7) % {NP})::VARCHAR, 8, '0') AS ci_pid,
+             't_' || lpad((1 + (hash(i) % {NT}))::VARCHAR, 9, '0') AS ci_tid,
+             'p_' || lpad((1 + (hash(i + 123457) % {NP}))::VARCHAR, 8, '0') AS ci_pid,
              'role_' || (i % 11) AS ci_role
       FROM generate_series(1, {FACT}) s(i)""", "castinfo")
     copy(f"""
-      SELECT 't_' || lpad((1 + (i * 17) % {NT})::VARCHAR, 9, '0') AS mc_tid,
-             'co_' || lpad((1 + (i * 5) % {NC})::VARCHAR, 7, '0') AS mc_coid,
+      SELECT 't_' || lpad((1 + (hash(i + 777) % {NT}))::VARCHAR, 9, '0') AS mc_tid,
+             'co_' || lpad((1 + (hash(i + 999331) % {NC}))::VARCHAR, 7, '0') AS mc_coid,
              CASE WHEN i % 20 = 3 THEN '(presents) (co-production)'
                   WHEN i % 20 = 4 THEN '(as metro pictures)'
                   ELSE '(' || (i % 1009)::VARCHAR || ')' END AS mc_note
       FROM generate_series(1, {FACT // 4}) s(i)""", "movie_company")
     copy(f"""
-      SELECT 't_' || lpad((1 + (i * 29) % {NT})::VARCHAR, 9, '0') AS mk_tid,
-             'kw_' || lpad((1 + (i * 3) % {NK})::VARCHAR, 7, '0') AS mk_kwid
+      SELECT 't_' || lpad((1 + (hash(i + 424243) % {NT}))::VARCHAR, 9, '0') AS mk_tid,
+             'kw_' || lpad((1 + (hash(i + 515151) % {NK}))::VARCHAR, 7, '0') AS mk_kwid
       FROM generate_series(1, {FACT // 3}) s(i)""", "movie_keyword")
     open(marker, "w").close()
     print(f"# fixture: castinfo={FACT} at {OUT_DIR} "
