@@ -138,10 +138,20 @@ class Engine:
         self.last_sql_rewritten = False
         if not auto_rpt or not cfg.enabled or self.catalog is None:
             return df
+        if cfg.suppress_native_rf:
+            # suppress BEFORE the transfer runs, not after: reduce()'s
+            # eager jobs (observe counts, min/max aggs, key-set builds,
+            # persists) are real queries, and with injection still live
+            # Spark plants bloom filters inside THEM — pure planning-job
+            # overhead that showed up as a composed-only Q22 loss at
+            # x1000 (8.2 s vs rpt 5.1 s with ZERO blooms in the final
+            # plan, TPCH_SCALE_X1000_r06). Restored below when the
+            # rewrite does not engage.
+            self._sync_native_rf(engaged=True)
         out = self._auto_transfer_sql(query, df, cfg)
         self.last_sql_rewritten = out is not None
-        if cfg.suppress_native_rf:
-            self._sync_native_rf(engaged=out is not None)
+        if cfg.suppress_native_rf and out is None:
+            self._sync_native_rf(engaged=False)
         return out if out is not None else df
 
     def _sync_native_rf(self, engaged: bool) -> None:
