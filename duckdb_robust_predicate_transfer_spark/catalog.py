@@ -58,9 +58,30 @@ def parquet_col_range(path: str, column: str):
     return None if lo is None else (lo, hi)
 
 
+def _b16(v) -> int:
+    """Order-preserving integer projection of a string/bytes statistic:
+    the first 16 bytes, big-endian, zero-padded. Lexicographic byte
+    order maps to integer order, so row-group span ratios work for
+    string keys exactly as for numerics. Values differing only past
+    byte 16 collapse to span 0 (reads as clustered) — that errs toward
+    RUNNING the min/max agg, never toward a wrong predicate."""
+    b = v.encode("utf-8", "surrogatepass") if isinstance(v, str) else bytes(v)
+    return int.from_bytes(b[:16].ljust(16, b"\0"), "big")
+
+
 def _stat_span(lo, hi):
     """Numeric width of a [lo, hi] footer range, or None for types
-    without a meaningful difference (strings, raw binary)."""
+    without a meaningful difference. String/binary stats project onto
+    the first 16 bytes (order-preserving), so hash-scattered string FK
+    layouts are recognizable as unclustered — without this, every
+    string-keyed probe read as 'unknown' and the minmax tier paid its
+    eager agg job for a predicate the layout could never act on
+    (JOB-regime jq1: 890 ms of pure overhead on a 1 s query)."""
+    if isinstance(lo, (str, bytes)) and isinstance(hi, (str, bytes)):
+        try:
+            return float(_b16(hi) - _b16(lo))
+        except Exception:
+            return None
     try:
         d = hi - lo
     except TypeError:

@@ -143,6 +143,24 @@ class RPTConfig:
     #: their probes' other joins are all broadcast dims (Q5 13.8->11.1s,
     #: Q7 10.7->5.5s, Q8 13.6->10.3s; off 30.3/15.1/14.3s).
     skip_redundant_shuffle_semi: bool = True
+    #: gate 2d — the same exchange-benefit test for the BROADCAST tier:
+    #: suppress the key-set semi into a probe whose every OTHER graph
+    #: neighbor is itself broadcastable (rows_est <= host_broadcast_rows)
+    #: — the final plan then joins the probe with broadcast-hash joins
+    #: only, which drop misses at the same per-row hash cost the semi
+    #: pays, so the transfer duplicates the joins row for row and adds
+    #: its eager build jobs on top. Measured on the JOB-regime fixture
+    #: (string keys, all-small dims after LIKE filters): jq1 0.63x,
+    #: jq4 0.57x at 100M fact rows — pure fixed-cost losses on 1-2 s
+    #: queries. Exemptions that keep every certified win: a probe with
+    #: any too-big neighbor (its shuffle join IS the exchange the
+    #: reduction shrinks — Q5/Q7/Q17/Q22 at x1000, the cascade
+    #: fixtures), opaque probes (anti/full-outer joins the edge graph
+    #: cannot see — Extraction.opaque), DSv2 probes (reduction lands in
+    #: the scan as row-group pruning, no exchange needed), and the
+    #: min/max tier (prunes the scan, separately payoff-checked).
+    #: host_broadcast_rows=0 disables (forced/test configs).
+    skip_no_exchange_probe: bool = True
     #: shuffle-tier ops (build keys too big to broadcast) only run when
     #: the build side is genuinely selective: estimated/observed build
     #: rows below this fraction of the build's raw footer rows. A build

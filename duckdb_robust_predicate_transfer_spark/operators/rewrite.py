@@ -254,7 +254,8 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                    colocated: dict | None = None,
                    rows_base: dict | None = None,
                    degrees: dict | None = None,
-                   neighbor_edges: dict | None = None) -> TransferResult:
+                   neighbor_edges: dict | None = None,
+                   opaque_rels: set | None = None) -> TransferResult:
     """Execute the schedule over ``dfs`` (alias -> DataFrame), mutating a
     copy; returns reduced DataFrames plus optional per-step stats.
     ``probe_paths`` (alias -> parquet path) enables footer-range-aware
@@ -264,9 +265,27 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
     is skipped (Rel.colocated_on). ``rows_base`` (alias -> raw footer
     rows, no filter guesses) feeds the shuffle-tier selectivity gate.
     ``neighbor_edges`` (alias -> list of (neighbor alias, key cols on
-    this alias)) feeds the exchange-saving gate 2b3."""
+    this alias)) feeds the exchange-saving gates 2b3 and 2d.
+    ``opaque_rels`` marks aliases whose final plan holds joins the edge
+    graph cannot see (anti / full outer) — gate 2d never suppresses
+    transfer into them."""
     probe_paths = probe_paths or {}
     colocated = colocated or {}
+    opaque_rels = opaque_rels or set()
+    #: alias -> probe scan is the DSv2 rptparquet source (computed
+    #: lazily, once per alias): a broadcast semi into a key-prunable
+    #: scan pays AT THE SCAN (runtime row-group pruning, cold IO) with
+    #: no downstream exchange needed, so gate 2d exempts it
+    dsv2_probe: dict = {}
+
+    def _is_dsv2(alias: str) -> bool:
+        if alias not in dsv2_probe:
+            try:
+                dsv2_probe[alias] = "rptparquet" in (
+                    dfs[alias]._jdf.queryExecution().analyzed().toString())
+            except Exception:
+                dsv2_probe[alias] = True  # unknown: do not suppress
+        return dsv2_probe[alias]
     dfs = dict(dfs)
     res = TransferResult(dfs=dfs, plan=plan)
     reduced: set = set()
@@ -431,6 +450,50 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             if (pre > cfg.bf_cheap_keys
                     and rows_est.get(op.probe, float("inf"))
                     < cfg.bf_benefit_probe_ratio * pre):
+                suppress_bf = True
+        # 2d. exchange-benefit gate for the BROADCAST tier (gate 2b3's
+        #     insight one tier down): when every other neighbor of the
+        #     probe is itself broadcastable, the final plan joins the
+        #     probe with broadcast-hash joins only — which drop misses
+        #     at the same per-row hash cost our semi pays — so the semi
+        #     duplicates work row for row and adds its build jobs on
+        #     top (JOB-regime jq1/jq4: 0.6-0.7x on 1-2 s queries whose
+        #     dims all broadcast). Reduction pays only when it crosses
+        #     an exchange: keep the semi if ANY other neighbor is too
+        #     big to broadcast (a shuffle join of the probe exists), if
+        #     the probe holds plan edges the graph cannot see
+        #     (anti/full outer -> opaque), or if the probe scan is
+        #     key-prunable (DSv2: the reduction lands IN the scan).
+        #     The min/max tier is exempt as in gate 2c — it prunes the
+        #     scan itself and is separately payoff-checked.
+        #     CASCADE GUARD: never suppress an op whose probe is the
+        #     BUILD of a later forward op — reduction through an
+        #     intermediate dim is transitive (Q5: region->nation looks
+        #     all-broadcast locally, but reduced nation is what shrinks
+        #     customer, then orders, then lineitem; suppressing the hop
+        #     collapsed the whole cascade, x1000 subset recheck). A
+        #     probe no forward op ever builds from (a terminal fact:
+        #     jq1's movie_company, a star fact) has no transitive value
+        #     — only there can local all-broadcast duplication hold.
+        if (not suppress_bf and cfg.skip_no_exchange_probe
+                and cfg.host_broadcast_rows > 0
+                and not any(o.build == op.probe and o.phase == "forward"
+                            for o in plan.ops)
+                and est <= cfg.broadcast_key_rows
+                # the build itself may be broadcast-SEMI-able for us yet
+                # too big for the HOST to broadcast in the final join —
+                # that join is then a shuffle of the probe, and the semi's
+                # reduction lands before it: a crossed exchange, keep
+                and est <= cfg.host_broadcast_rows
+                and not _sketch_tier(cfg, est)
+                and op.probe not in opaque_rels
+                and op.probe in (neighbor_edges or {})):
+            others = [(n, cols) for n, cols in neighbor_edges[op.probe]
+                      if n != op.build]
+            crosses_exchange = any(
+                rows_est.get(n, float("inf")) > cfg.host_broadcast_rows
+                for n, _cols in others)
+            if not crosses_exchange and not _is_dsv2(op.probe):
                 suppress_bf = True
         if suppress_bf and cfg.filter_type == "bf_only":
             continue  # no minmax tier to fall back to

@@ -92,6 +92,12 @@ class Extraction:
     #: table -> list of allowed reduction key groups (one per recognized
     #: correlated-subquery occurrence); see _Walker.shared_sub
     shared_sub: dict = field(default_factory=dict)
+    #: aliases that feed a join the graph carries NO edge for (anti /
+    #: full outer): those joins are real — usually shuffled — exchanges
+    #: of both inputs in the final plan, so the exchange-benefit gate
+    #: (rewrite.py gate 2d) must never judge these relations
+    #: "exchange-free" from their graph neighborhood alone
+    opaque: set = field(default_factory=set)
 
     def occurrences(self, table: str) -> int:
         return sum(1 for i in self.instances.values() if i.table == table)
@@ -165,6 +171,7 @@ class _Walker:
         self.instances: dict = {}
         self.id_map: dict = {}    # exprId -> (alias, col name)
         self.edges: list = []
+        self.opaque: set = set()  # aliases under anti/full joins
         #: tables referenced INSIDE subquery expressions. The caller's
         #: replay re-analyzes the same SQL against shadow views, so a
         #: reduced shadow would also substitute into the subquery and
@@ -367,8 +374,13 @@ class _Walker:
     # -- condition harvesting -------------------------------------------
 
     def _attach(self, conjunct, how: str | None,
-                left_set: set, right_set: set) -> None:
-        """Route one conjunct: equi edge, local filter, or ignore."""
+                left_set: set, right_set: set,
+                scope: set | None = None) -> None:
+        """Route one conjunct: equi edge, local filter, or ignore.
+        ``scope`` = aliases of the subtree the conjunct filters — the
+        opaque fallback when a subquery-bearing conjunct exposes no
+        outer attribute ids at this level (EXISTS/IN correlation lives
+        inside the subquery plan, invisible here)."""
         flags: list = []
         c = _cls(conjunct)
         if c == "EqualTo":
@@ -377,7 +389,12 @@ class _Walker:
             self._scan_tolerant(conjunct.left(), ids_l, flags)
             self._scan_tolerant(conjunct.right(), ids_r, flags)
             if flags:
-                return  # subquery-bearing conjunct: replayed, never harvested
+                # e.g. ``col = (scalar subquery)``: replayed, and the
+                # outer relations feed a subquery join — opaque (below)
+                hit = {self.id_map[i][0] for i in ids_l + ids_r
+                       if i in self.id_map}
+                self.opaque |= hit if hit else (scope or set())
+                return
             if (len(ids_l) == 1 and len(ids_r) == 1
                     and _cls(conjunct.left()) == "AttributeReference"
                     and _cls(conjunct.right()) == "AttributeReference"):
@@ -400,7 +417,16 @@ class _Walker:
         ids: list = []
         self._scan_tolerant(conjunct, ids, flags)
         if flags:
-            return  # subquery-bearing conjunct: replayed, never harvested
+            # subquery-bearing conjunct (EXISTS / IN / correlated
+            # scalar): replayed, never harvested — but the optimizer
+            # turns it into a real semi/anti JOIN of the outer
+            # relations it references, an exchange the edge graph does
+            # not carry. Mark those relations opaque so gate 2d cannot
+            # judge them exchange-free (TPC-H Q22: customer's only
+            # non-subquery join is the anti join itself).
+            hit = {self.id_map[i][0] for i in ids if i in self.id_map}
+            self.opaque |= hit if hit else (scope or set())
+            return
         owners = {self.id_map[i][0] for i in ids if i in self.id_map}
         if len(owners) == 1 and len(ids) > 0 and conjunct.deterministic():
             alias = owners.pop()
@@ -532,6 +558,12 @@ class _Walker:
                 for alias in left_set | right_set:
                     self.instances[alias].protected = True
             how = _JOIN_HOW.get(jt)
+            if how is None:
+                # anti/full joins carry no transfer edges, but they ARE
+                # exchanges of both inputs in the final plan — mark the
+                # relations opaque so gate 2d cannot call them
+                # exchange-free from the edge graph alone
+                self.opaque |= left_set | right_set
             for conj in conjs:
                 if how is not None:
                     self._attach(conj, how, left_set, right_set)
@@ -550,7 +582,7 @@ class _Walker:
 
         if c == "Filter":
             for conj in _conjuncts(node.condition()):
-                self._attach(conj, None, set(), set())
+                self._attach(conj, None, set(), set(), scope=sub)
         else:
             # subquery expressions elsewhere (e.g. a scalar subquery in
             # a SELECT list) protect their tables; the replay re-binds
@@ -590,7 +622,7 @@ def extract_join_graph(df: DataFrame, known_tables: set) -> Extraction | None:
         if not edges:
             return None
         return Extraction(instances=w.instances, edges=edges,
-                          shared_sub=shared)
+                          shared_sub=shared, opaque=set(w.opaque))
     except _Unsupported:
         return None
     except Exception:

@@ -317,7 +317,10 @@ def test_host_broadcast_feedback_sql_path(spark, sf_dir):
 
     force = RPTConfig(min_probe_rows=0, require_selective_build=False,
                       backward_min_probe_rows=0, minmax_min_probe_rows=0,
-                      persist_min_rows=0, all_broadcast_bail_rows=0)
+                      persist_min_rows=0, all_broadcast_bail_rows=0,
+                      # keep host_broadcast_rows (the hint under test
+                      # reads it), so gate 2d must be opted out instead
+                      skip_no_exchange_probe=False)
     sql = """
         SELECT o.o_orderpriority, COUNT(*) AS n
         FROM lineitem l
@@ -355,7 +358,10 @@ def test_bf_benefit_gate_prices_midsize_broadcasts(spark, sf_dir):
              ("o", "c", "o_custkey", "c_custkey")]
     base = dict(min_probe_rows=0, require_selective_build=False,
                 backward_min_probe_rows=0, all_broadcast_bail_rows=0,
-                filter_type="bf_only")
+                filter_type="bf_only",
+                # isolate gate 2c: at sf0.001 every neighbor is
+                # broadcastable, so gate 2d would suppress all ops first
+                skip_no_exchange_probe=False)
 
     def applied_probes(cfg):
         e = Engine(spark, sf_dir, cfg)
@@ -374,6 +380,82 @@ def test_bf_benefit_gate_prices_midsize_broadcasts(spark, sf_dir):
     got = applied_probes(RPTConfig(**base, bf_cheap_keys=10**9,
                                    bf_benefit_probe_ratio=1e9))
     assert {"l", "o"} <= got
+
+
+def test_exchange_benefit_gate_2d(spark, sf_dir):
+    """Gate 2d (r6): a broadcast-tier semi into a probe whose every
+    other neighbor is itself broadcastable duplicates the final plan's
+    broadcast-hash joins (JOB-regime jq1/jq4 at 0.6-0.7x), so it is
+    suppressed — unless some neighbor is too big to broadcast (the
+    probe then crosses a real exchange), or the probe feeds an anti
+    join the edge graph cannot see (Extraction.opaque)."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
+
+    rels = {"l": "lineitem",
+            "o": Rel("orders", "o_orderstatus = 'F'"),
+            "c": Rel("customer", "c_mktsegment = 'BUILDING'")}
+    edges = [("l", "o", "l_orderkey", "o_orderkey"),
+             ("o", "c", "o_custkey", "c_custkey")]
+    base = dict(min_probe_rows=0, require_selective_build=False,
+                backward_min_probe_rows=0, all_broadcast_bail_rows=0,
+                filter_type="bf_only", bf_benefit_probe_ratio=0.0)
+
+    def applied_probes(cfg):
+        e = Engine(spark, sf_dir, cfg)
+        e.reduce_and_join(rels, edges).collect()
+        return {op.probe for op in e.last_result.applied}
+
+    # sf0.001: every neighbor broadcastable => the TERMINAL probe (l,
+    # no forward op builds from it) is suppressed; the intermediate
+    # probe (o) survives via the cascade guard — its reduction feeds
+    # the (suppressed) downstream op, a deliberate one-op imprecision
+    # that keeps Q5-style transitive cascades alive
+    assert applied_probes(RPTConfig(**base)) == {"o"}
+    # a "too big to broadcast" neighbor (threshold lowered below the
+    # fixture sizes) => the probe crosses an exchange, ops kept
+    assert {"l", "o"} <= applied_probes(
+        RPTConfig(**base, host_broadcast_rows=10))
+    # opting the gate out restores every op
+    assert {"l", "o"} <= applied_probes(
+        RPTConfig(**base, skip_no_exchange_probe=False))
+
+    # opaque probes (anti joins carry no graph edge but ARE exchanges):
+    # the same all-broadcastable shape through the SQL path with a NOT
+    # EXISTS on the probe must KEEP its transfer
+    # two edges (single-edge graphs bail before any gate), all
+    # broadcastable at sf0.001
+    sql_anti = """
+        SELECT COUNT(*) AS n
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'
+          AND c.c_mktsegment = 'BUILDING'
+          AND NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey)
+    """
+    sql_plain = """
+        SELECT COUNT(*) AS n
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'
+          AND c.c_mktsegment = 'BUILDING'
+    """
+    cfg = RPTConfig(**base)
+    e = Engine(spark, sf_dir, cfg)
+    e.sql(sql_anti, auto_rpt=True).collect()
+    anti_probes = {op.probe for op in (e.last_result.applied
+                                       if e.last_result else [])}
+    e2 = Engine(spark, sf_dir, cfg)
+    e2.sql(sql_plain, auto_rpt=True).collect()
+    plain_probes = {op.probe for op in (e2.last_result.applied
+                                        if e2.last_result else [])}
+    assert "l" in anti_probes, (
+        "opaque (anti-join) terminal probe must keep transfer")
+    assert "l" not in plain_probes, (
+        "all-broadcast terminal probe must be suppressed")
 
 
 def test_minmax_clustering_gate(spark, tmp_path):
