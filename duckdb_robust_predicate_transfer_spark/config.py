@@ -65,6 +65,14 @@ class RPTConfig:
     #: loser shapes without this trade. Keep for forced configs;
     #: revisit with a cost model that prices the bitmap-build shuffle
     #: (partitions x m/64 words) against the probe shuffle saved.
+    #: r6 regime evidence (SKETCH_REGIME_r06, x1000, leak-free A/B):
+    #: the designed win EXISTS — Q5's 9M-key orders build (gate 2b3
+    #: skips its shuffled semi) as a scan-local bitmap runs 11.5 s vs
+    #: off 30.2 s (2.6x) and beats exact rpt — but the same shape LOSES
+    #: on Q7 (14.4 vs rpt 5.5: the broadcast cascade already covers its
+    #: lineitem reduction and the eager bitmap build is pure add-on).
+    #: Stays default-off until escalation is priced by expected probe
+    #: reduction, not build size alone.
     sketch_auto: bool = False
     #: ...but only up to this many estimated build keys: the bitmap is
     #: m = NextPow2(12 bits/key), so 64M keys -> 128 MB broadcast — about
