@@ -247,6 +247,19 @@ class RPTConfig:
     #: session value on the next non-engaged query. Caveat: the toggle
     #: is session-scoped and read at execution, so collect rewritten
     #: DataFrames before planning the next query.
+    #: CERTIFIED CLUSTER DEFAULT (r6): run COMPOSED — leave Spark's
+    #: runtime bloom filters enabled alongside the engine and let this
+    #: per-edge suppression arbitrate. Composed beats transfer-alone on
+    #: geomean at every certified scale: x300 1.098 vs 1.028
+    #: (TPCH_SCALE_X300_r05), x1000 1.139 vs 1.124
+    #: (TPCH_SCALE_X1000_r06), JOB-regime 1.203 vs ~1.0
+    #: (JOB_REGIME_r06) — native blooms reach shapes the gates skip
+    #: (Q21's self-join, jq3's deep fanout) while suppression keeps
+    #: engaged edges single-mechanism. At true cluster scale Spark
+    #: enables runtime blooms by itself once scans clear the 10 GB
+    #: gate, so composed is what production looks like anyway; the r6
+    #: early-suppression fix (Engine.sql) removed its one interaction
+    #: loss (Q22: eager build jobs used to run with injection live).
     suppress_native_rf: bool = True
     #: persist reduced tables that both feed a key-set and the final join
     persist_reduced: bool = True
