@@ -169,6 +169,27 @@ class RPTConfig:
     #: min/max tier (prunes the scan, separately payoff-checked).
     #: host_broadcast_rows=0 disables (forced/test configs).
     skip_no_exchange_probe: bool = True
+    #: gate 2e — gate 2d's duplication economics with the exchange
+    #: evidence read from the HOST PLAN instead of the edge graph: the
+    #: un-rewritten physical plan already inner-broadcast-hash-joins
+    #: this build into the probe's scan pipeline BELOW the probe's
+    #: first shuffle (plans/catalyst_order.scan_prefilter_pairs), so
+    #: the host drops the same rows at the same per-row hash cost at
+    #: the same pre-exchange position even though the probe DOES cross
+    #: an exchange later — the semi is pure duplication. Measured:
+    #: TPC-H Q9 at x1000, whose only op (part->lineitem broadcast semi,
+    #: 87% removal) sat under the host's own part BHJ directly above
+    #: the lineitem scan and cost 8% (r5/r6 artifacts' one unexplained
+    #: residual). Guards that keep every certified win: SQL-path only
+    #: (the pair evidence needs the host plan), probes with
+    #: shared-subquery/virtual edges excluded by the engine (their
+    #: semi reaches subquery occurrences the host join cannot — Q17's
+    #: 2.5x), forward-cascade guard as in 2d, and the probe must be
+    #: huge (> 10x broadcast_key_rows) so any BACKWARD op building
+    #: from it is guaranteed shuffle-tier and already skipped by gate
+    #: 3a (backward_broadcast_only) — reduction through the probe
+    #: cannot be lost because none was applicable.
+    skip_host_prefiltered_semi: bool = True
     #: shuffle-tier ops (build keys too big to broadcast) only run when
     #: the build side is genuinely selective: estimated/observed build
     #: rows below this fraction of the build's raw footer rows. A build

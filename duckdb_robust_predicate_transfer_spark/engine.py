@@ -155,7 +155,15 @@ class Engine:
             # plan, TPCH_SCALE_X1000_r06). Restored below when the
             # rewrite does not engage.
             self._sync_native_rf(engaged=True)
-        out = self._auto_transfer_sql(query, df, cfg)
+        try:
+            out = self._auto_transfer_sql(query, df, cfg)
+        except Exception:
+            # the transfer's eager jobs (observe counts, min/max aggs,
+            # key-set builds) are real Spark jobs that can throw; leave
+            # the session's bloom-injection conf as the caller had it
+            if cfg.suppress_native_rf:
+                self._sync_native_rf(engaged=False)
+            raise
         self.last_sql_rewritten = out is not None
         if cfg.suppress_native_rf and out is None:
             self._sync_native_rf(engaged=False)
@@ -212,15 +220,16 @@ class Engine:
         # rewrite for the session).
         from .plans.extract import TRANSIENT_BAIL
 
-        fp = []
-        for t in sorted(known):
-            p = self.catalog.path(t)
-            try:
-                st = os.stat(p)
-                fp.append((t, p, st.st_mtime_ns, st.st_size))
-            except OSError:
-                fp.append((t, p, 0, 0))
-        ck = (query, tuple(fp))
+        from .catalog import _path_stamp
+
+        # per-member fingerprint (catalog._path_stamp): a directory-backed
+        # table whose member files are rewritten in place can leave the
+        # directory's own mtime/size unchanged — os.stat on the dir alone
+        # would serve a stale cached bail on changed data
+        fp = tuple((t, self.catalog.path(t),
+                    _path_stamp(self.catalog.path(t)))
+                   for t in sorted(known))
+        ck = (query, fp)
         if ck in _EXT_CACHE:
             ext = _EXT_CACHE[ck]
         else:
@@ -241,6 +250,14 @@ class Engine:
         # fingerprints in ck; the config repr keys gate-relevant knobs.
         bk = (ck, repr(cfg))
         if _BAIL_CACHE.get(bk):
+            # a bail-cache hit returns before reduce() runs, so the
+            # PREVIOUS engaged query's persists (stashed on the session)
+            # must be released here too, or repeated cached-bail
+            # statements reintroduce the cross-query persist leak
+            prev = getattr(self.spark, "_drpt_prev_result", None)
+            if prev is not None:
+                prev.release()
+                self.spark._drpt_prev_result = None
             return None
         # correlated-scalar-subquery (DELIM) edges: the reference walks
         # LOGICAL_DELIM_JOIN as an edge source (rpt_optimizer.cpp:49-50)
@@ -303,11 +320,36 @@ class Engine:
             rels[alias] = Rel(inst.table, df=d,
                               prefiltered=bool(inst.filters))
         rels.update(virt_rels)
+        # gate 2e input: which (probe, build) pairs does the HOST plan
+        # already filter below the probe's first exchange? Read from the
+        # un-rewritten physical plan (pure planning, no jobs). Probes
+        # carrying shared-subquery/virtual edges are excluded: their
+        # semi's reduction reaches the SUBQUERY occurrence through the
+        # shadowed view — value the host's own join cannot deliver
+        # (TPC-H Q17's 2.5x win is exactly that op).
+        host_pre: "set | None" = None
+        if cfg.skip_host_prefiltered_semi:
+            from .plans.catalyst_order import scan_prefilter_pairs
+
+            alias_paths = {}
+            for alias, inst in ext.instances.items():
+                try:
+                    alias_paths[alias] = self.catalog.path(inst.table)
+                except Exception:
+                    pass
+            host_pre = scan_prefilter_pairs(df, alias_paths)
+            if host_pre:
+                excl = ({v[0] for v in virt_edges}
+                        | set(virt_rels)
+                        | {a for a, i in ext.instances.items()
+                           if i.table in shared_tables})
+                host_pre = {(p, b) for p, b in host_pre if p not in excl}
         # reduce() releases the previous query's persists at entry; nulling
         # last_result here instead would leak them for the life of the
         # session (CacheManager plan pollution — see reduce()'s docstring)
         red = self.reduce(rels, list(ext.edges) + virt_edges, cfg,
-                          opaque=getattr(ext, "opaque", None))
+                          opaque=getattr(ext, "opaque", None),
+                          host_prefiltered=host_pre)
         if self.last_result is None:
             if len(_BAIL_CACHE) >= 512:
                 _BAIL_CACHE.pop(next(iter(_BAIL_CACHE)))
@@ -387,7 +429,8 @@ class Engine:
 
     def reduce(self, rels: dict, edges: list,
                config: RPTConfig | None = None,
-               opaque: set | None = None) -> dict:
+               opaque: set | None = None,
+               host_prefiltered: "set | None" = None) -> dict:
         """Apply robust predicate transfer; returns alias -> reduced DF.
 
         Persisted build sides from the PREVIOUS reduce are released
@@ -547,7 +590,8 @@ class Engine:
                              probe_paths=paths, colocated=colocated,
                              rows_base=rows_base, degrees=degrees,
                              neighbor_edges=neighbor_edges,
-                             opaque_rels=opaque or set())
+                             opaque_rels=opaque or set(),
+                             host_prefiltered=host_prefiltered)
         res.planning_ms = planning_ms
         if cfg.profiling:
             # the reference prints its per-op summary at QueryEnd when

@@ -255,7 +255,8 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                    rows_base: dict | None = None,
                    degrees: dict | None = None,
                    neighbor_edges: dict | None = None,
-                   opaque_rels: set | None = None) -> TransferResult:
+                   opaque_rels: set | None = None,
+                   host_prefiltered: "set | None" = None) -> TransferResult:
     """Execute the schedule over ``dfs`` (alias -> DataFrame), mutating a
     copy; returns reduced DataFrames plus optional per-step stats.
     ``probe_paths`` (alias -> parquet path) enables footer-range-aware
@@ -268,7 +269,9 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
     this alias)) feeds the exchange-saving gates 2b3 and 2d.
     ``opaque_rels`` marks aliases whose final plan holds joins the edge
     graph cannot see (anti / full outer) — gate 2d never suppresses
-    transfer into them."""
+    transfer into them. ``host_prefiltered`` ((probe, build) pairs the
+    host plan already filters below the probe's first exchange,
+    plans/catalyst_order.scan_prefilter_pairs) feeds gate 2e."""
     probe_paths = probe_paths or {}
     colocated = colocated or {}
     opaque_rels = opaque_rels or set()
@@ -418,9 +421,10 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         #      broadcast dims, so the "reduction feeds the probe's other
         #      joins" rationale priced at zero exchanges saved.
         if (cfg.skip_redundant_shuffle_semi
+                and neighbor_edges is not None
                 and est > cfg.broadcast_key_rows
                 and not _sketch_tier(cfg, est)):
-            others = (neighbor_edges or {}).get(op.probe, [])
+            others = neighbor_edges.get(op.probe, [])
             saves_exchange = any(
                 n != op.build and set(cols) != set(op.probe_cols)
                 and rows_est.get(n, float("inf")) > cfg.host_broadcast_rows
@@ -495,6 +499,33 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 for n, _cols in others)
             if not crosses_exchange and not _is_dsv2(op.probe):
                 suppress_bf = True
+        # 2e. host-prefiltered duplication: the un-rewritten host plan
+        #     already inner-BHJ-joins this build into the probe's scan
+        #     pipeline below the probe's first shuffle — same rows
+        #     dropped, same per-row hash cost, same pre-exchange
+        #     position — so the semi duplicates it even though the
+        #     probe crosses an exchange later (Q9's part->lineitem at
+        #     x1000: the one residual gate 2d's graph-only evidence
+        #     could not see). Guards: forward-cascade as in 2d; probe
+        #     huge enough (10x broadcast_key_rows) that any backward op
+        #     building from it stays shuffle-tier, which gate 3a
+        #     (backward_broadcast_only) already skips — so no
+        #     transitive reduction is lost; DSv2 probes keep the op
+        #     (scan-local reduction is strictly cheaper than the host
+        #     join). The engine excludes shared-subquery/virtual
+        #     probes before handing over the pairs (config docstring).
+        if (not suppress_bf and cfg.skip_host_prefiltered_semi
+                and host_prefiltered
+                and (op.probe, op.build) in host_prefiltered
+                and est <= cfg.broadcast_key_rows
+                and not _sketch_tier(cfg, est)
+                and not any(o.build == op.probe and o.phase == "forward"
+                            for o in plan.ops)
+                and cfg.backward_broadcast_only
+                and rows_est.get(op.probe, 0.0)
+                > 10 * cfg.broadcast_key_rows
+                and not _is_dsv2(op.probe)):
+            suppress_bf = True
         if suppress_bf and cfg.filter_type == "bf_only":
             continue  # no minmax tier to fall back to
         # 3. backward ops need an even bigger probe: the forward pass

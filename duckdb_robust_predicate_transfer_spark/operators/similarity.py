@@ -461,10 +461,15 @@ def cosine_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          threshold: float = 0.95,
                          n_planes: int = 16, n_bands: int = 4,
-                         seed: int = 7) -> DataFrame:
+                         seed: int = 7,
+                         hasher: str = "xxhash64") -> DataFrame:
     """Embedding near-duplicate pairs via hyperplane-LSH bucketing +
-    exact cosine rescore: (id_a < id_b, cos_sim >= threshold)."""
-    sigs = hyperplane_signature(df, id_col, vec_col, n_planes, seed)
+    exact cosine rescore: (id_a < id_b, cos_sim >= threshold).
+    ``hasher='md5_64'`` derives the plane matrix portably
+    (PLANE_HASHERS), making the banded candidate set — and so the
+    approximate result — an exact cross-engine quantity."""
+    sigs = hyperplane_signature(df, id_col, vec_col, n_planes, seed,
+                                hasher)
     r = n_planes // n_bands
     mask = (1 << r) - 1
     bands = sigs.select(

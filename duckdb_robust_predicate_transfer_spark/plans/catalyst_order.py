@@ -58,6 +58,81 @@ def _build_first_children(node) -> list:
     return kids
 
 
+def scan_prefilter_pairs(joined: DataFrame, alias_paths: dict
+                         ) -> "set | None":
+    """(probe_alias, build_alias) pairs the HOST plan already filters.
+
+    Walks the un-rewritten physical plan bottom-up and records, for
+    every base-table leaf, the inner BroadcastHashJoins that sit on its
+    pipeline BELOW its first shuffle exchange. Such a join drops probe
+    rows missing from the build at the same per-row hash cost a
+    transfer semi pays — and it does so before any exchange, i.e. at
+    the exact point our broadcast-tier semi would land. A semi
+    duplicating one of these joins is pure per-row overhead (gate 2e;
+    measured: TPC-H Q9 at x1000, where the host broadcast-joins
+    filtered part directly above the lineitem scan and the
+    part->lineitem semi cost 8% of the query).
+
+    ``alias_paths``: alias -> parquet path of its base table; an alias
+    is matched to a leaf scan by path substring. Ambiguity (two aliases
+    sharing a path — a self-join) drops BOTH aliases: suppression must
+    only fire on certainty. Returns None on any traversal failure
+    (callers treat the gate as inert).
+    """
+    try:
+        # NOT sparkPlan: exchanges are only inserted by
+        # EnsureRequirements during executedPlan preparation. Under AQE
+        # the executed plan is an AdaptiveSparkPlanExec wrapper whose
+        # initialPlan carries the exchange-annotated tree (no jobs run
+        # — this is pure planning).
+        jplan = joined._jdf.queryExecution().executedPlan()
+        if "AdaptiveSparkPlan" in jplan.getClass().getSimpleName():
+            jplan = jplan.initialPlan()
+        # self-joins: a path claimed by >1 alias matches no one
+        by_path: dict = {}
+        for a, p in alias_paths.items():
+            by_path.setdefault(p, []).append(a)
+        uniq = {p: als[0] for p, als in by_path.items() if len(als) == 1}
+        pairs: set = set()
+
+        def walk(node) -> "tuple[set, set]":
+            """returns (aliases in subtree, aliases still pre-exchange)"""
+            kids = _jseq(node.children())
+            cname = node.getClass().getSimpleName()
+            if not kids:
+                s = node.toString()
+                hit = {a for p, a in uniq.items() if p in s}
+                # one alias per leaf; anything else is unmatchable
+                hit = hit if len(hit) == 1 else set()
+                return set(hit), set(hit)
+            subs = [walk(k) for k in kids]
+            aliases = set().union(*(s for s, _ in subs))
+            live = set().union(*(l for _, l in subs))
+            if "ShuffleExchange" in cname or "BroadcastExchange" in cname:
+                return aliases, set()
+            if cname == "BroadcastHashJoinExec" and len(subs) == 2:
+                try:
+                    inner = node.joinType().toString() == "Inner"
+                except Exception:
+                    inner = False
+                if inner:
+                    (la, ll), (ra, rl) = subs
+                    # only single-table other sides: the join condition
+                    # then provably carries that table's keys
+                    if len(ra) == 1:
+                        b = next(iter(ra))
+                        pairs.update((a, b) for a in ll)
+                    if len(la) == 1:
+                        b = next(iter(la))
+                        pairs.update((a, b) for a in rl)
+            return aliases, live
+
+        walk(jplan)
+        return pairs
+    except Exception:
+        return None
+
+
 def physical_alias_order(joined: DataFrame, alias_dfs: dict) -> "list | None":
     """Aliases in physical execution order, or None if unresolvable.
 

@@ -1669,13 +1669,44 @@ def q_embed_neardup_exact(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cs", 6).alias("cos_sim"))
 
 
-@query("q_embed_neardup_lsh")  # recall < 1 by design => rows-only
+@query(
+    "q_embed_neardup_lsh",
+    # the md5_64 plane tier makes the banded candidate set — and so the
+    # approximate pair set itself — a deterministic quantity both
+    # engines compute identically (recall < 1 is a property of the
+    # index, not nondeterminism); oracle twin of
+    # similarity.cosine_neardup_pairs on the _LSH_SIG_CTES bands
+    oracle=f"""
+    WITH {_LSH_SIG_CTES},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b USING (band_id, band_val)
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(list_dot_product(x.ed, y.ed)
+             / (sqrt(list_dot_product(x.ed, x.ed))
+                * sqrt(list_dot_product(y.ed, y.ed))), 6) AS cos_sim
+    FROM cand c
+    JOIN corpus x ON x.vec_id = c.id_a
+    JOIN corpus y ON y.vec_id = c.id_b
+    WHERE list_dot_product(x.ed, y.ed)
+          / (sqrt(list_dot_product(x.ed, x.ed))
+             * sqrt(list_dot_product(y.ed, y.ed))) >= 0.4
+    """,
+)
 def q_embed_neardup_lsh(spark, sf_dir):
+    """The FULL near-dup operator path (operators/similarity.py
+    cosine_neardup_pairs: hyperplane signatures -> 8 banded 2-bit
+    buckets -> candidate join, never all-pairs -> exact rescore) on
+    the md5_64 portable plane tier — ORACLE-BEARING since r7
+    (previously rows-only); xxhash64 stays the plan-identical
+    production default."""
     from ..operators.similarity import cosine_neardup_pairs
 
     e = eng(spark, sf_dir)
     return cosine_neardup_pairs(e.table("embeddings"), threshold=0.4,
-                                n_planes=16, n_bands=8)
+                                n_planes=16, n_bands=8, hasher="md5_64")
 
 
 @query(
@@ -1806,12 +1837,72 @@ def q_events_json(spark, sf_dir):
                  .cast("bigint").alias("sum_k")))
 
 
-@query("q_ann_ivf_topk")  # approximate (hash-sampled centroids) => rows-only
+@query(
+    "q_ann_ivf_topk",
+    # md5_64 centroid-sample tier (ivf_centroids hasher): the whole IVF
+    # index is a deterministic cross-engine quantity, so the
+    # approximate top-10 itself has an exact oracle — assignment argmax
+    # on dot/|c| (row norms cancel) ties to the LARGER centroid id,
+    # probe ties to the SMALLER, rescore ROUND(...,6) ties to vec_id,
+    # all matching ivf_topk_batch
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed FROM embeddings
+      WHERE vec_id <> 0
+    ),
+    qs AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS qd FROM embeddings
+      WHERE vec_id = 0
+    ),
+    cents AS (
+      SELECT vec_id AS centroid_id, ed AS cd FROM corpus
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, k.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 list_dot_product(c.ed, k.cd)
+                   / sqrt(list_dot_product(k.cd, k.cd)) DESC,
+                 k.centroid_id DESC) AS rn
+        FROM corpus c CROSS JOIN cents k) t
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT centroid_id FROM (
+        SELECT k.centroid_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 list_dot_product(q.qd, k.cd)
+                   / (sqrt(list_dot_product(q.qd, q.qd))
+                      * sqrt(list_dot_product(k.cd, k.cd))) DESC,
+                 k.centroid_id) AS rn
+        FROM qs q CROSS JOIN cents k) t
+      WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT a.vec_id,
+             ROUND(list_dot_product(co.ed, q.qd)
+               / (sqrt(list_dot_product(co.ed, co.ed))
+                  * sqrt(list_dot_product(q.qd, q.qd))), 6) AS cos_sim
+      FROM probe p
+      JOIN assign a USING (centroid_id)
+      JOIN corpus co ON co.vec_id = a.vec_id
+      CROSS JOIN qs q
+    )
+    SELECT vec_id, cos_sim FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored) t
+    WHERE rn <= 10
+    """,
+)
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbours: hash-sampled centroids,
     inverted-list assignment, nprobe-bounded scan + exact rescore.
     Fully distributed — the query vector is a 1-row DataFrame into the
-    batch path, no .collect() anywhere in plan construction."""
+    batch path, no .collect() anywhere in plan construction. Runs on
+    the md5_64 centroid-sample tier, which makes the approximate
+    result itself ORACLE-BEARING since r7 (previously rows-only);
+    the xxhash64 production sample stays plan-identical."""
     from ..operators.similarity import as_double, ivf_topk_batch
 
     e = eng(spark, sf_dir)
@@ -1819,7 +1910,8 @@ def q_ann_ivf_topk(spark, sf_dir):
     q = (emb.filter(F.col("vec_id") == 0)
          .select(F.col("vec_id").alias("qid"), as_double().alias("qv")))
     return (ivf_topk_batch(emb.filter(F.col("vec_id") != 0), q,
-                           k=10, n_centroids=16, nprobe=4)
+                           k=10, n_centroids=16, nprobe=4,
+                           hasher="md5_64")
             .select("vec_id", "cos_sim")
             .orderBy(F.col("cos_sim").desc(), "vec_id"))
 

@@ -315,6 +315,13 @@ final class RptScan
     // partitions — the moment the reference reaches with its BF table
     // filter. Pruning must stay conservative: unknown predicate shapes
     // and statless row groups are kept.
+    // Each delivery fully REPLACES the previous filter set: if the scan
+    // is re-planned with different runtime predicates (scan reuse / AQE
+    // replan), a stale exact key set for a column absent from the new
+    // predicates must not keep dropping rows at read time. rowSets is
+    // cleared in place (the reader factory holds the live reference).
+    rowSets.clear();
+    kept = all;
     for (Predicate p : predicates) {
       if (!"IN".equalsIgnoreCase(p.name())) {
         continue;

@@ -489,3 +489,61 @@ def test_minmax_clustering_gate(spark, tmp_path):
     assert _probe_clustered(hp, ("nope",), 0.5)
     # >=1 disables
     assert _probe_clustered(hp, ("k",), 1.0)
+
+
+def test_host_prefiltered_gate_2e(spark, sf_dir):
+    """Gate 2e (r7): when the HOST's un-rewritten physical plan already
+    inner-broadcast-hash-joins the build into the probe's scan pipeline
+    below the probe's first shuffle, a broadcast-tier semi on the same
+    pair duplicates that join row for row (TPC-H Q9's part->lineitem at
+    x1000) and is suppressed — even though the probe does cross an
+    exchange later, which is why gate 2d's graph-only evidence keeps
+    it. SQL-path only: the pair evidence is read from the host plan."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine
+
+    # supplier (filtered, tiny) joins lineitem directly: the host plans
+    # an inner BHJ right above the lineitem scan. orders is forced
+    # "too big to broadcast" via host_broadcast_rows so gate 2d sees a
+    # crossed exchange and keeps the op — isolating 2e's suppression.
+    sql = """
+        SELECT COUNT(*) AS n
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE s.s_nationkey = 1
+    """
+    base = dict(min_probe_rows=0, require_selective_build=False,
+                backward_min_probe_rows=0, all_broadcast_bail_rows=0,
+                filter_type="bf_only", bf_benefit_probe_ratio=0.0,
+                broadcast_key_rows=500, host_broadcast_rows=10,
+                max_build_keep_frac=1.0)
+
+    def run(cfg):
+        e = Engine(spark, sf_dir, cfg)
+        rows = e.sql(sql, auto_rpt=True).collect()
+        probes = {op.probe for op in (e.last_result.applied
+                                      if e.last_result else [])}
+        return rows, probes
+
+    rows_on, probes_on = run(RPTConfig(**base))
+    rows_off, probes_off = run(
+        RPTConfig(**base, skip_host_prefiltered_semi=False))
+    assert "l" in probes_off, "without 2e the broadcast semi applies"
+    assert "l" not in probes_on, (
+        "host-prefiltered pair must be suppressed by gate 2e")
+    assert rows_on == rows_off
+
+    # the pair evidence itself: supplier joins lineitem below its first
+    # exchange; via the orders edge lineitem IS exchanged afterwards
+    from duckdb_robust_predicate_transfer_spark.plans.catalyst_order import (
+        scan_prefilter_pairs)
+
+    e = Engine(spark, sf_dir)
+    e.catalog.register_views()
+    df = spark.sql(sql)
+    pairs = scan_prefilter_pairs(
+        df, {"l": e.catalog.path("lineitem"),
+             "s": e.catalog.path("supplier"),
+             "o": e.catalog.path("orders")})
+    assert pairs is not None and ("l", "s") in pairs

@@ -46,7 +46,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 JAR = os.path.join(REPO, "jvm", "rpt-dsv2.jar")
 FACT_ROWS = int(os.environ.get("DRPT_ADAPT_FACT_ROWS", 10_000_000))
 KEY_SPACE = max(FACT_ROWS // 50, 1000)
-FIX = os.environ.get("DRPT_ADAPT_FIX", f"/tmp/drpt_dsv2_adapt_{FACT_ROWS}")
+FIX = os.environ.get("DRPT_ADAPT_FIX",
+                     f"/tmp/drpt_dsv2_adapt_v2_{FACT_ROWS}")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
@@ -75,7 +76,14 @@ def main() -> int:
 
     fact_dir = os.path.join(FIX, "fact.parquet")
     dim_dir = os.path.join(FIX, "dim.parquet")
-    if not os.path.exists(os.path.join(fact_dir, "_SUCCESS")):
+    stale = False
+    if os.path.exists(os.path.join(fact_dir, "_SUCCESS")):
+        # pre-r7 fixtures lack the f_note payload column: regenerate
+        try:
+            stale = "f_note" not in spark.read.parquet(fact_dir).columns
+        except Exception:
+            stale = True
+    if stale or not os.path.exists(os.path.join(fact_dir, "_SUCCESS")):
         # UNCLUSTERED: f_mk is a hash of the row id, so every row group's
         # [min,max] covers ~the whole key space and zone-map pruning is
         # structurally useless here (the anti-fixture of
@@ -83,7 +91,12 @@ def main() -> int:
         (spark.range(FACT_ROWS)
          .select(F.pmod(F.hash(F.col("id"), F.lit(7)),
                         F.lit(KEY_SPACE)).cast("bigint").alias("f_mk"),
-                 (F.col("id") % 9973).cast("double").alias("f_amount"))
+                 (F.col("id") % 9973).cast("double").alias("f_amount"),
+                 # payload for the expensive-predicate regime: a note
+                 # string whose digits admit ~1 in 10 rows
+                 F.format_string("note-%d-%s-end", F.col("id") % 9973,
+                                 F.conv(F.hash("id"), 10, 16))
+                 .alias("f_note"))
          .repartition(16)
          .write.mode("overwrite")
          .option("parquet.block.size", 8 * 1024 * 1024)
@@ -145,8 +158,73 @@ def main() -> int:
             "sec": {n: round(v, 3) for n, v in best.items()},
         }
 
+    def run_pred_regime(tag: str, pct_keep: int) -> dict:
+        """The row filter's DESIGNED WIN (SelectivityOptionalFilter's
+        reason to exist, physical_create_bf.cpp:324-329): expensive
+        per-row work sits between the scan and the semi join — here a
+        regexp predicate on the fact's note column, the JOB-workload
+        LIKE shape — and the in-scan row filter drops join-miss rows
+        BEFORE that predicate ever evaluates. Without it every scanned
+        row pays the regexp and dies at the semi join afterwards; with
+        it only the ~pct_keep% join survivors do. Row-group pruning
+        cannot substitute (scattered keys, zone maps useless), so the
+        whole delta is the per-row mechanism."""
+        log = os.path.join(FIX, f"prune_{tag}.log")
+        if os.path.exists(log):
+            os.remove(log)
+        dim = spark.read.parquet(dim_dir).filter(F.col("d_pct") < pct_keep)
+
+        def q(fact):
+            f = fact.filter(
+                F.col("f_note").rlike("^note-[0-9]*7-[0-9A-F]+-end$"))
+            j = f.join(dim, f.f_mk == dim.d_k)
+            return j.agg(F.count(F.lit(1)).alias("cnt"),
+                         F.sum("f_amount").alias("amt"),
+                         F.sum("d_k").alias("dsum"))
+
+        fact_on = (spark.read.format("rptparquet")
+                   .option("filterColumns", "f_mk")
+                   .option("logFile", log).load(fact_dir))
+        fact_off = (spark.read.format("rptparquet")
+                    .option("filterColumns", "f_mk")
+                    .option("rowFilter", "false").load(fact_dir))
+        fact_native = spark.read.parquet(fact_dir)
+
+        legs = (("row_filter", fact_on), ("no_row_filter", fact_off),
+                ("native", fact_native))
+        rows, best = {}, {n: float("inf") for n, _ in legs}
+        q(fact_native).collect()  # warm page cache + codegen
+        for it in range(3):
+            rot = it % len(legs)
+            for name, fact in legs[rot:] + legs[:rot]:
+                t0 = time.time()
+                rows[name] = sorted(map(tuple, q(fact).collect()))
+                best[name] = min(best[name], time.time() - t0)
+
+        events = []
+        if os.path.exists(log):
+            with open(log) as fh:
+                events = [json.loads(ln) for ln in fh if ln.strip()]
+        rf = [e for e in events if e.get("event") == "row_filter"]
+        seen = sum(e["rows_seen"] for e in rf)
+        passed = sum(e["rows_passed"] for e in rf)
+        return {
+            "pct_keep": pct_keep,
+            "results_match": (rows["row_filter"] == rows["no_row_filter"]
+                              == rows["native"]),
+            "row_filter_tasks": len(rf),
+            "pass_rate": round(passed / seen, 4) if seen else None,
+            "tasks_disabled": sum(bool(e["adaptively_disabled"])
+                                  for e in rf),
+            "sec": {n: round(v, 3) for n, v in best.items()},
+            "row_filter_speedup": (round(best["no_row_filter"]
+                                         / best["row_filter"], 3)
+                                   if best["row_filter"] else None),
+        }
+
     sel = run_regime("selective", 2)
     uns = run_regime("unselective", 90)
+    pred = run_pred_regime("expensive_pred", 2)
 
     # NOTE on tasks_disabled in the selective regime: pass_rate ~0.02 is
     # far below the 0.75 threshold, so zero tasks may disable; in the
@@ -157,7 +235,9 @@ def main() -> int:
           and sel["pass_rate"] is not None and sel["pass_rate"] < 0.2
           and sel["tasks_disabled"] == 0
           and uns["row_filter_tasks"] > 0
-          and uns["tasks_disabled"] > 0)
+          and uns["tasks_disabled"] > 0
+          and pred["results_match"]
+          and pred["row_filter_tasks"] > 0)
 
     out = {
         "suite": "dsv2-adaptive-row-filter",
@@ -166,6 +246,7 @@ def main() -> int:
         "disable_at": 0.75,
         "selective": sel,
         "unselective": uns,
+        "expensive_pred": pred,
         "ok": ok,
     }
     print(json.dumps(out), flush=True)

@@ -191,6 +191,115 @@ QUERIES = {
         AND t_year BETWEEN 1990 AND 1995
         AND t_title LIKE '%Returns%'
     """,
+    # JOB 6-shape: two facts on title, exact keyword + person prefix —
+    # the selective-arm-reaches-the-other-fact cascade
+    "jq5": """
+      SELECT MIN(t_title) AS min_title, MIN(p_name) AS min_name,
+             COUNT(*) AS n
+      FROM title, castinfo, person, movie_keyword, keyword
+      WHERE ci_tid = t_id AND ci_pid = p_id
+        AND mk_tid = t_id AND mk_kwid = kw_id
+        AND kw_word = 'character-name-in-title'
+        AND p_name LIKE 'Sigma%'
+    """,
+    # JOB 11-shape: company chain with a NOT LIKE fact predicate
+    "jq6": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_company, company
+      WHERE mc_tid = t_id AND mc_coid = co_id
+        AND co_name LIKE '%Universal%'
+        AND mc_note NOT LIKE '%(as metro pictures)%'
+        AND t_kind = 'kind_7'
+    """,
+    # deep fanout with WEAK dims everywhere (low-selectivity LIKEs):
+    # jq3's native-wins shape — every arm passes 30-100%, so transfer
+    # reductions are small while fact-fact fanout dominates
+    "jq7": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, castinfo, movie_keyword, keyword, movie_company,
+           company
+      WHERE ci_tid = t_id
+        AND mk_tid = t_id AND mk_kwid = kw_id
+        AND mc_tid = t_id AND mc_coid = co_id
+        AND co_country IN ('[us]', '[de]')
+        AND kw_word LIKE 'alpha-%'
+        AND t_year BETWEEN 1980 AND 2010
+    """,
+    # bounded-downside probe: NO selective predicate anywhere — the
+    # gates must disengage (or tie); any loss here is pure overhead
+    "jq8": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_company, company
+      WHERE mc_tid = t_id AND mc_coid = co_id
+    """,
+    # multi-fact chain: person -> castinfo -> title -> movie_keyword,
+    # selective only at the person end (transitive reach test)
+    "jq9": """
+      SELECT MIN(t_title) AS min_title, MIN(kw_word) AS min_kw,
+             COUNT(*) AS n
+      FROM person, castinfo, title, movie_keyword, keyword
+      WHERE ci_pid = p_id AND ci_tid = t_id
+        AND mk_tid = t_id AND mk_kwid = kw_id
+        AND p_name = 'Alpha, Alpha'
+    """,
+    # all three facts + all three dims, every dim selective (the
+    # maximal star: 6 edges, JOB 28/30-shape)
+    "jq10": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, castinfo, person, movie_keyword, keyword,
+           movie_company, company
+      WHERE ci_tid = t_id AND ci_pid = p_id
+        AND mk_tid = t_id AND mk_kwid = kw_id
+        AND mc_tid = t_id AND mc_coid = co_id
+        AND kw_word = 'sequel'
+        AND co_name LIKE '%Warner%'
+        AND p_name LIKE 'Theta%'
+        AND t_year > 2000
+    """,
+    # selective fact predicate, UNfiltered dims: reduction must flow
+    # fact -> title -> other fact (backward-ish reach)
+    "jq11": """
+      SELECT MIN(t_title) AS min_title, MIN(co_name) AS min_co,
+             COUNT(*) AS n
+      FROM title, movie_company, company, movie_keyword
+      WHERE mc_tid = t_id AND mc_coid = co_id
+        AND mk_tid = t_id
+        AND mc_note = '(as metro pictures)'
+        AND t_kind = 'kind_1'
+    """,
+    # IN-subquery (mark-join path) over a fact: the transfer must
+    # leave the mark alone and still compose (Q18's shape, JOB keys)
+    "jq12": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_company, company
+      WHERE mc_tid = t_id AND mc_coid = co_id
+        AND co_country = '[fr]'
+        AND t_id IN (SELECT mk_tid FROM movie_keyword, keyword
+                     WHERE mk_kwid = kw_id AND kw_word = 'sequel')
+    """,
+    # year-window + two LIKE-selective dims on one fact each, sharing
+    # title: the classic JOB two-arm pincer
+    "jq13": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_company, company, castinfo, person
+      WHERE mc_tid = t_id AND mc_coid = co_id
+        AND ci_tid = t_id AND ci_pid = p_id
+        AND co_name LIKE 'Warner %'
+        AND p_name LIKE 'Omicron, %'
+        AND t_year BETWEEN 1975 AND 1985
+    """,
+    # LEFT JOIN fanout: preserved-side title must never be reduced by
+    # the outer arm; company arm stays selective
+    "jq14": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n,
+             COUNT(kw_id) AS n_kw
+      FROM title
+      JOIN movie_company ON mc_tid = t_id
+      JOIN company ON mc_coid = co_id
+      LEFT JOIN movie_keyword ON mk_tid = t_id
+      LEFT JOIN keyword ON mk_kwid = kw_id AND kw_word = 'sequel'
+      WHERE co_name LIKE '%Warner%' AND co_country = '[us]'
+    """,
 }
 
 
