@@ -48,6 +48,13 @@ def get_spark(app_name: str = "drpt-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled",
                 "false" if os.environ.get("DRPT_ARROW") == "0" else "true")
         .config("spark.driver.memory", os.environ.get("DRPT_DRIVER_MEM", "8g"))
+        # spill-aware (SURVEY §7): shuffle/spill files compress ~2x
+        # smaller under zstd than the lz4 default — opt-in for
+        # disk-bounded certification runs (x1000's Q21 triple-lineitem
+        # self-join spills ~46 GB with lz4 against a ~49 GB-free /tmp,
+        # the round-7 ENOSPC). Default stays lz4, Spark's own default.
+        .config("spark.io.compression.codec",
+                os.environ.get("DRPT_IO_CODEC", "lz4"))
         .config("spark.ui.enabled", "false")
         # artifact hygiene (VERDICT r5 #2): stage-progress bars written
         # to stdout interleave with, and corrupt, captured JSON lines

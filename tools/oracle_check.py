@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 import sys
 import time
 from collections import Counter
@@ -141,16 +142,36 @@ def main():
     from duckdb_robust_predicate_transfer_spark.session import get_spark
     from duckdb_robust_predicate_transfer_spark.workload import ORACLE, QUERIES
 
-    spark = get_spark(shuffle_partitions=16)
+    # 16 partitions suit the sub-GB local fixtures; x1000-scale sweeps
+    # override via env so a 600M-row sort is not 16 x 37M-row tasks
+    parts = int(os.environ.get("DRPT_ORACLE_SHUFFLE", "16"))
+    spark = get_spark(shuffle_partitions=parts)
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    # bounded-disk discipline for big replications (the tpch_scale
+    # lesson, now needed here too): a single session accumulates every
+    # query's shuffle spill, whose files are only guaranteed released
+    # when the SparkContext stops — at x1000 the 22-query sweep plus
+    # Q21's triple-lineitem self-join ENOSPC'd a 47 GB /tmp. Recycle
+    # the session every N checked queries (0 = never, the default for
+    # local scale factors where spill is trivial).
+    restart_every = int(os.environ.get("DRPT_ORACLE_RESTART_EVERY", "0"))
+    checked = 0
+
     ok = fail = skip = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
+        if restart_every and checked and checked % restart_every == 0:
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            spark = get_spark(shuffle_partitions=parts)
+        checked += 1
         if name not in ORACLE:
             try:
                 n = fn(spark, sf_dir).count()

@@ -128,10 +128,19 @@ def main() -> int:
     oracle_ok = None
     if not skip_oracle:
         here = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ)
+        if REP >= 300:
+            # bounded-disk: recycle the oracle session every few queries
+            # so 22 queries' shuffle spill (Q21's self-join alone is
+            # tens of GB at x1000) never accumulates to ENOSPC, and
+            # compress spill with zstd (~2x smaller than lz4)
+            env.setdefault("DRPT_ORACLE_RESTART_EVERY", "3")
+            env.setdefault("DRPT_IO_CODEC", "zstd")
+            env.setdefault("DRPT_ORACLE_SHUFFLE", "128")
         r = subprocess.run(
             [sys.executable, "-u", os.path.join(here, "oracle_check.py"),
              OUT_DIR] + TPCH,
-            capture_output=True, text=True, timeout=3600)
+            env=env, capture_output=True, text=True, timeout=7200)
         tail = (r.stdout or "").strip().splitlines()
         print("\n".join(tail[-3:]), file=sys.stderr, flush=True)
         oracle_ok = r.returncode == 0
@@ -301,6 +310,7 @@ def main() -> int:
         "replication": REP,
         "runs": runs,
         "shuffle_partitions": SHUFFLE,
+        "io_codec": os.environ.get("DRPT_IO_CODEC", "lz4"),
         "rf_emulated": EMULATE_RF,
         "oracle_22_queries_ok": oracle_ok,
         "queries_timed": len(ok_qs),
