@@ -143,6 +143,12 @@ def main() -> int:
             env=env, capture_output=True, text=True, timeout=7200)
         tail = (r.stdout or "").strip().splitlines()
         print("\n".join(tail[-3:]), file=sys.stderr, flush=True)
+        # persist the full oracle output: a '21 ok, 1 fail' summary
+        # without the FAIL line is undiagnosable after the fact (r7)
+        with open("/tmp/tpch_scale_oracle.log", "w") as fh:
+            fh.write(r.stdout or "")
+            fh.write("\n--- stderr ---\n")
+            fh.write((r.stderr or "")[-20000:])
         oracle_ok = r.returncode == 0
 
     from duckdb_robust_predicate_transfer_spark.config import RPTConfig
