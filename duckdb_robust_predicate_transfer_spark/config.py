@@ -151,6 +151,55 @@ class RPTConfig:
     #: their probes' other joins are all broadcast dims (Q5 13.8->11.1s,
     #: Q7 10.7->5.5s, Q8 13.6->10.3s; off 30.3/15.1/14.3s).
     skip_redundant_shuffle_semi: bool = True
+    #: gate 2f — SUBTREE SKETCH RESCUE: when gate 2b3 is about to drop a
+    #: forward shuffle-tier hop (its shuffled semi saves no exchange),
+    #: re-express the hop scan-locally instead of losing it. This is the
+    #: reference's forward-pass-over-reduced-rows semantics
+    #: (rpt_optimizer.cpp:884-937, build from the materialized reduced
+    #: collection physical_create_bf.cpp:201-242): the build side is an
+    #: already-reduced/filtered intermediate whose selectivity composes
+    #: transitively — exactly what Spark's native InjectRuntimeFilter
+    #: gets by building its bloom from a join SUBTREE, and what
+    #: per-table key semis cannot express without a huge shuffle build
+    #: (JOB_REGIME_r07: native beat rpt 1.5-3x on jq10/jq11/jq13 for
+    #: precisely this). The rescued op first OBSERVES the build's true
+    #: cardinality (one count job), then ships either a broadcast
+    #: exact-key semi (observed <= broadcast_key_rows — the mis-tiered
+    #: case where the 0.2 decay guess hid a genuinely broadcastable key
+    #: set, e.g. jq13's movie_company at 1% after its company semi) or
+    #: a correctly-sized scan-fused Bloom bitmap (operators/bloom.py) —
+    #: both land BEFORE the probe's first exchange, costing no shuffle.
+    #: Guards that keep the r6 sketch-regime lesson (SKETCH_REGIME_r06:
+    #: Q5 sketch 2.6x WIN, Q7 sketch 0.38x LOSS):
+    #: - the build's reduction lineage must be SCAN-LOCAL (broadcast
+    #:   semis / bloom probes / minmax only): Q7's loser build (orders)
+    #:   carried a shuffled semi, so its eager re-derivation paid a
+    #:   full exchange; Q5's winner lineages were scan+filter only.
+    #: - both passes are eligible, but a backward hop only LANDS when
+    #:   its observed build is broadcast-tier (gate 3a still kills
+    #:   shuffle-tier backward hops after the observation): the
+    #:   selective-arm-at-the-root shape (JOB jq15) distributes
+    #:   root-side selectivity to the other arms backward, and the
+    #:   observation is what proves the build shrank to a key set the
+    #:   probe's scan can absorb for free.
+    #: - the op's max forward-downstream probe (footer rows, following
+    #:   build->probe chains) must be at least
+    #:   sketch_rescue_probe_factor x the build's base scan — the eager
+    #:   observe+build jobs re-scan the build base once each, and only
+    #:   downstream mass repays them (jq13: castinfo 100M vs
+    #:   movie_company 25M; transitive value counts because the reduced
+    #:   probe feeds later broadcast-tier hops).
+    #: - observed cardinality must stay within sketch_max_keys.
+    sketch_rescue: bool = True
+    #: minimum ratio of max-downstream-probe footer rows to the rescued
+    #: build's base footer rows (see sketch_rescue). The rescue costs
+    #: at most two SCAN-LOCAL passes of the build base (observe count +
+    #: bloom build; the exact-broadcast outcome needs only the count),
+    #: repaid by downstream rows cut before their first exchange —
+    #: 0.5 admits jq15's backward movie_keyword(33M)->title hop whose
+    #: value is movie_info (20M), while still refusing hops whose whole
+    #: downstream is under half the build's own scan.
+    sketch_rescue_probe_factor: float = 0.5
     #: gate 2d — the same exchange-benefit test for the BROADCAST tier:
     #: suppress the key-set semi into a probe whose every OTHER graph
     #: neighbor is itself broadcastable (rows_est <= host_broadcast_rows)

@@ -143,6 +143,14 @@ class Engine:
         #: reference's "rules_applied" profiling counter
         #: (rpt_profiling.hpp:40-55). Read by tools/breadth_check.py.
         self.last_sql_rewritten = False
+        #: set by _auto_transfer_sql when an UN-engaged query's bail
+        #: evidence is pure duplication economics (every lost candidate
+        #: died to gates 2d/2e): the query's joins are all broadcast-
+        #: hash joins that drop the same rows a filter would, so
+        #: native runtime blooms are the same pure overhead our semis
+        #: would be — keep injection suppressed for it (JOB jq1: native
+        #: 1.65 s vs off 0.95 s on exactly this shape, JOB_REGIME_r07).
+        self._keep_rf_suppressed = False
         if not auto_rpt or not cfg.enabled or self.catalog is None:
             return df
         if cfg.suppress_native_rf:
@@ -165,7 +173,8 @@ class Engine:
                 self._sync_native_rf(engaged=False)
             raise
         self.last_sql_rewritten = out is not None
-        if cfg.suppress_native_rf and out is None:
+        if (cfg.suppress_native_rf and out is None
+                and not self._keep_rf_suppressed):
             self._sync_native_rf(engaged=False)
         return out if out is not None else df
 
@@ -258,6 +267,9 @@ class Engine:
             if prev is not None:
                 prev.release()
                 self.spark._drpt_prev_result = None
+            # replay the composed arbitration the first run decided
+            if _BAIL_CACHE.get(bk) == "dup":
+                self._keep_rf_suppressed = True
             return None
         # correlated-scalar-subquery (DELIM) edges: the reference walks
         # LOGICAL_DELIM_JOIN as an edge source (rpt_optimizer.cpp:49-50)
@@ -343,7 +355,8 @@ class Engine:
                         | set(virt_rels)
                         | {a for a, i in ext.instances.items()
                            if i.table in shared_tables})
-                host_pre = {(p, b) for p, b in host_pre if p not in excl}
+                host_pre = {(p, b, k) for p, b, k in host_pre
+                            if p not in excl}
         # reduce() releases the previous query's persists at entry; nulling
         # last_result here instead would leak them for the life of the
         # session (CacheManager plan pollution — see reduce()'s docstring)
@@ -416,10 +429,28 @@ class Engine:
             if not shadowed:
                 # all ops gated away (e.g. gate 2d on an all-broadcast
                 # probe): deterministic for this statement+data+config,
-                # so repeats skip the planning path entirely
+                # so repeats skip the planning path entirely. When the
+                # ONLY forward candidates lost died to the duplication
+                # gates (2d/2e — the host's broadcast joins already do
+                # the filtering), native runtime blooms would duplicate
+                # the same joins too: the composed arbitration keeps
+                # injection suppressed for this query (_keep_rf_
+                # suppressed). Shuffle-economics drops (gates 2/2b/2b3,
+                # incl. a refused sketch rescue) instead mean a shape
+                # we could NOT serve scan-locally — there native's
+                # subtree blooms stay welcome.
+                lr = self.last_result
+                dup_bail = (lr is not None and not lr.applied
+                            and lr.drops.get("dup", 0) > 0
+                            and not any(k in ("gate2", "gate2b",
+                                              "gate2b3", "gate2c",
+                                              "noop")
+                                        for k in lr.drops))
+                if dup_bail:
+                    self._keep_rf_suppressed = True
                 if len(_BAIL_CACHE) >= 512:
                     _BAIL_CACHE.pop(next(iter(_BAIL_CACHE)))
-                _BAIL_CACHE[bk] = True
+                _BAIL_CACHE[bk] = "dup" if dup_bail else True
                 return None
             return self.spark.sql(query)
         finally:

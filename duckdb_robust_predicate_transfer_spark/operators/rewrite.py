@@ -88,6 +88,19 @@ class TransferResult:
     #: Engine.reduce — the reference's optimizer-time probe,
     #: rpt_profiling.hpp:16-40)
     planning_ms: float = 0.0
+    #: tier each applied op landed as, parallel to ``applied``:
+    #: "sketch" | "exact_broadcast" | "exact_shuffle" | "minmax" |
+    #: "empty" — certification tooling reads it to attribute wins to
+    #: the gate-2f rescue vs the ordinary tiers
+    applied_tiers: list = field(default_factory=list)
+    #: gate-name -> count of scheduled ops that gate dropped. "dup" =
+    #: duplication economics (gates 2d/2e: the host plan performs the
+    #: same filtering itself); Engine.sql's composed arbitration reads
+    #: it — a query whose ONLY lost candidates were dup-drops is an
+    #: all-BHJ shape where native runtime blooms duplicate the same
+    #: joins too, so injection stays suppressed for it (JOB jq1/jq4/jq6
+    #: measured native 0.6-1.3x of off on exactly these).
+    drops: dict = field(default_factory=dict)
 
     def release(self):
         for df in self.persisted:
@@ -229,6 +242,27 @@ def _range_pred(build_ranges: dict, op: TransferOp,
     return pred
 
 
+def _downstream_weight(alias: str, plan_ops, rows: dict) -> float:
+    """Max footer-row count over ``alias`` and every probe reachable
+    from it through scheduled build->probe chains (either pass) — the
+    transitive value of reducing ``alias`` (a reduced mid-table feeds
+    every later hop it builds for; gate 2f prices its rescue against
+    this, not against the immediate probe alone: jq13's
+    movie_company->title hop is paid for by castinfo, not by title;
+    jq15's backward movie_keyword->title hop by movie_info)."""
+    best = rows.get(alias, 0.0)
+    seen = {alias}
+    stack = [alias]
+    while stack:
+        a = stack.pop()
+        for o in plan_ops:
+            if o.build == a and o.probe not in seen:
+                seen.add(o.probe)
+                stack.append(o.probe)
+                best = max(best, rows.get(o.probe, 0.0))
+    return best
+
+
 def _sketch_tier(cfg, est: float) -> bool:
     """Does this build ship as a Bloom bitmap instead of exact keys?
 
@@ -291,6 +325,9 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         return dsv2_probe[alias]
     dfs = dict(dfs)
     res = TransferResult(dfs=dfs, plan=plan)
+
+    def _drop(reason: str) -> None:
+        res.drops[reason] = res.drops.get(reason, 0) + 1
     reduced: set = set()
     #: pre-decay estimates: local-filter selectivity only, updated by
     #: OBSERVED counts (min/max agg, bloom build) but never by the fixed
@@ -343,12 +380,22 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
     #: builds whose rows were observed exactly this schedule (count paid)
     observed: set = set()
 
+    #: alias -> its reduction lineage is scan-local (no shuffled semi
+    #: applied to it): broadcast semis, bloom probes, min/max BETWEENs
+    #: and empty-build short-circuits all fuse into the relation's own
+    #: scan stage, so an eager job over the lineage (gate 2f's observe
+    #: count / bloom build) costs one scan and no exchange. A shuffled
+    #: semi breaks that — re-deriving it eagerly pays a full exchange,
+    #: which is the r6 sketch-regime Q7 loss (SKETCH_REGIME_r06).
+    scan_local: dict = {a: True for a in dfs}
+
     for op in plan.ops:
         build, probe = dfs[op.build], dfs[op.probe]
         est = rows_est.get(op.build, float("inf"))
 
         # 0. information gate: skip ops that provably cannot remove rows
         if not (info[op.build] - info[op.probe] - {op.probe}):
+            _drop("info")
             continue
 
         # 0b. near-boundary tier observation (config.observe_est_factor):
@@ -376,6 +423,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         if (op.build not in filtered and op.build not in reduced
                 and (cfg.require_selective_build
                      or est > cfg.max_unfiltered_build_rows)):
+            _drop("gate1")
             continue
         # 2. transfer only into probes big enough to repay an exchange —
         #    but ONLY for shuffle-tier builds. A broadcast-tier build
@@ -390,6 +438,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         if (est > cfg.broadcast_key_rows
                 and rows_est.get(op.probe, float("inf"))
                 < cfg.min_probe_rows):
+            _drop("gate2")
             continue
         # 2b. shuffle-tier builds must also be SELECTIVE: the op costs a
         #     distinct-key shuffle + a shuffled semi join + (big probes)
@@ -400,6 +449,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         if (est > cfg.broadcast_key_rows and rows_base is not None):
             base = rows_base.get(op.build, 0.0)
             if base > 0 and est >= cfg.max_build_keep_frac * base:
+                _drop("gate2b")
                 continue
         # 2b2/2b3. a shuffled semi never SAVES an exchange of the probe:
         #      it shuffles the probe's full current rows by the op keys —
@@ -420,6 +470,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         #      30.3/15.1/14.3/14.2) — their downstream joins are all
         #      broadcast dims, so the "reduction feeds the probe's other
         #      joins" rationale priced at zero exchanges saved.
+        force_sketch = False
         if (cfg.skip_redundant_shuffle_semi
                 and neighbor_edges is not None
                 and est > cfg.broadcast_key_rows
@@ -430,7 +481,65 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 and rows_est.get(n, float("inf")) > cfg.host_broadcast_rows
                 for n, cols in others)
             if not saves_exchange:
-                continue
+                # gate 2f: subtree sketch rescue (config.sketch_rescue)
+                # — the hop is otherwise LOST, and with it the
+                # transitive selectivity of the build's whole reduced
+                # subtree (the jq10/jq11/jq13 gap vs native's
+                # subtree-built blooms, JOB_REGIME_r07). Re-express it
+                # scan-locally when the guards hold; never replace a
+                # live shuffled semi (the r6 sketch_auto mistake).
+                # both passes are eligible: a backward hop whose
+                # observed build turns out broadcast-tier (jq15's
+                # 234-key movie_keyword after its kw semi) passes gate
+                # 3a below on the observed number; one that stays
+                # shuffle-tier is still killed there (the r6 lesson —
+                # an eager bloom over the root's lineage never pays)
+                build_base = (rows_base or {}).get(op.build, 0.0) or est
+                ok = (cfg.sketch_rescue
+                      and est <= cfg.sketch_max_keys
+                      # gate 3's observation-independent backward check,
+                      # hoisted so a doomed hop never pays the count
+                      and (op.phase == "forward"
+                           or rows_est.get(op.probe, float("inf"))
+                           >= cfg.backward_min_probe_rows)
+                      and scan_local.get(op.build, True)
+                      and _downstream_weight(
+                          op.probe, plan.ops, rows_base or rows_est)
+                      >= cfg.sketch_rescue_probe_factor * build_base)
+                if not ok:
+                    _drop("gate2b3")
+                    continue
+                # observe the build's true cardinality: the decay guess
+                # both mis-tiers (jq13's movie_company is 1% after its
+                # company semi, broadcastable) and mis-sizes the bitmap
+                # (an oversized bloom broadcasts MBs for nothing). One
+                # scan-local count job, reused across ops via rows_est.
+                if op.build not in observed:
+                    observed.add(op.build)
+                    est = float(build.count())
+                    rows_est[op.build] = est
+                    rows_pre[op.build] = est
+                else:
+                    est = rows_est.get(op.build, est)
+                # re-check size and selectivity on the OBSERVED count:
+                # a weak build (keeps >= max_build_keep_frac of its
+                # base) cuts too little to repay the eager bloom build
+                # (jq7's 50%-country company arm), and an over-large
+                # one is beyond the bitmap's broadcast ceiling
+                if est > cfg.sketch_max_keys:
+                    _drop("gate2b3")
+                    continue
+                if (rows_base is not None and build_base > 0
+                        and est >= cfg.max_build_keep_frac * build_base):
+                    _drop("gate2b3")
+                    continue
+                # est == 0 rides the sketch branch too: its empty-build
+                # short-circuit (probe WHERE false) is the reference's
+                # always-false filter (physical_create_bf.cpp:290-297),
+                # and the broadcast-tier gates below must not reclaim
+                # the op (a zero-key build duplicates no host join)
+                force_sketch = (est > cfg.broadcast_key_rows
+                                or est == 0)
         # 2c. broadcast-tier benefit gate: BroadcastExchange collects the
         #     key set to the driver and builds the hash relation single-
         #     threaded, so a MID-SIZE key set (above bf_cheap_keys) is a
@@ -447,8 +556,10 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         #     (clustering + base-size bounds), so it must not be lost
         #     with the keys (ADVICE r5).
         suppress_bf = False
+        dup_evidence = False  # suppression specifically by gates 2d/2e
         if (cfg.bf_benefit_probe_ratio > 0 and cfg.filter_type != "minmax_only"
                 and est <= cfg.broadcast_key_rows
+                and not force_sketch
                 and not _sketch_tier(cfg, est)):
             pre = rows_pre.get(op.build, est)
             if (pre > cfg.bf_cheap_keys
@@ -484,6 +595,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 and not any(o.build == op.probe and o.phase == "forward"
                             for o in plan.ops)
                 and est <= cfg.broadcast_key_rows
+                and not force_sketch
                 # the build itself may be broadcast-SEMI-able for us yet
                 # too big for the HOST to broadcast in the final join —
                 # that join is then a shuffle of the probe, and the semi's
@@ -499,6 +611,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 for n, _cols in others)
             if not crosses_exchange and not _is_dsv2(op.probe):
                 suppress_bf = True
+                dup_evidence = True
         # 2e. host-prefiltered duplication: the un-rewritten host plan
         #     already inner-BHJ-joins this build into the probe's scan
         #     pipeline below the probe's first shuffle — same rows
@@ -506,19 +619,28 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         #     position — so the semi duplicates it even though the
         #     probe crosses an exchange later (Q9's part->lineitem at
         #     x1000: the one residual gate 2d's graph-only evidence
-        #     could not see). Guards: forward-cascade as in 2d; probe
-        #     huge enough (10x broadcast_key_rows) that any backward op
-        #     building from it stays shuffle-tier, which gate 3a
-        #     (backward_broadcast_only) already skips — so no
-        #     transitive reduction is lost; DSv2 probes keep the op
-        #     (scan-local reduction is strictly cheaper than the host
-        #     join). The engine excludes shared-subquery/virtual
+        #     could not see). Guards: forward-cascade as in 2d; the
+        #     BUILD must not itself carry transfer reductions (a
+        #     cascade INTO the build means the semi filters on
+        #     already-reduced keys the host's bare-table BHJ cannot
+        #     express — ADVICE r7); the host join's probe-side keys
+        #     must cover the op's probe columns (unknown keys = no
+        #     suppression); probe huge enough (10x broadcast_key_rows)
+        #     that any backward op building from it stays shuffle-tier,
+        #     which gate 3a (backward_broadcast_only) already skips —
+        #     so no transitive reduction is lost; DSv2 probes keep the
+        #     op (scan-local reduction is strictly cheaper than the
+        #     host join). The engine excludes shared-subquery/virtual
         #     probes before handing over the pairs (config docstring).
         if (not suppress_bf and cfg.skip_host_prefiltered_semi
                 and host_prefiltered
-                and (op.probe, op.build) in host_prefiltered
+                and any(p == op.probe and b == op.build
+                        and (k is None or set(op.probe_cols) <= k)
+                        for p, b, k in host_prefiltered)
                 and est <= cfg.broadcast_key_rows
+                and not force_sketch
                 and not _sketch_tier(cfg, est)
+                and op.build not in reduced
                 and not any(o.build == op.probe and o.phase == "forward"
                             for o in plan.ops)
                 and cfg.backward_broadcast_only
@@ -526,17 +648,21 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 > 10 * cfg.broadcast_key_rows
                 and not _is_dsv2(op.probe)):
             suppress_bf = True
+            dup_evidence = True
         if suppress_bf and cfg.filter_type == "bf_only":
+            _drop("dup" if dup_evidence else "gate2c")
             continue  # no minmax tier to fall back to
         # 3. backward ops need an even bigger probe: the forward pass
         #    already reduced the root, so the marginal win is smaller
         if (op.phase == "backward"
                 and rows_est.get(op.probe, float("inf"))
                 < cfg.backward_min_probe_rows):
+            _drop("gate3")
             continue
         # 3a. shuffle-tier backward hops are opt-in (see config docstring)
         if (op.phase == "backward" and cfg.backward_broadcast_only
                 and est > cfg.broadcast_key_rows):
+            _drop("gate3a")
             continue
         # 3b. benefit gate: a probe whose reduced size already fits the
         #     host broadcast hint will be BROADCAST in the final join —
@@ -557,12 +683,14 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         if (op.phase == "backward" and cfg.host_broadcast_rows
                 and rows_est.get(op.probe, float("inf"))
                 <= cfg.host_broadcast_rows):
+            _drop("gate3b")
             continue
         # 4. both endpoints declared bucketed on this edge's keys: the
         #    join is already exchange-free, and transfer along it only
         #    adds probe work (measured: BUCKETED_r03.json)
         if (colocated.get(op.build) == frozenset(op.build_cols)
                 and colocated.get(op.probe) == frozenset(op.probe_cols)):
+            _drop("gate4")
             continue
 
         st = StepStat(op=op)
@@ -579,7 +707,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         # column-pruned recompute of the reduction lineage beats
         # materializing the build's full (wide) row payload.
         sketch_tier = (cfg.filter_type in ("all", "bf_only")
-                       and _sketch_tier(cfg, est))
+                       and (_sketch_tier(cfg, est) or force_sketch))
         if (cfg.persist_reduced and op.build in reduced
                 and (est >= cfg.persist_min_rows
                      or op.build in multi_filter_builds)
@@ -600,6 +728,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         #: information gate would then skip ops that could still prune
         #: (ADVICE r4)
         applied = False
+        tier = "minmax"
         # ... and only from broadcast-tier builds (unless minmax_only is
         # forced): a shuffle-tier build's eager agg re-derives a
         # multi-million-row lineage for a range that, on hash-uniform
@@ -683,6 +812,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 dfs[op.probe] = probe_bloom(probe, list(op.probe_cols),
                                             bloom)
             res.applied.append(op)
+            res.applied_tiers.append("sketch")
             reduced.add(op.probe)
             info[op.probe] |= info[op.build]
             epochs[op.probe] = epochs.get(op.probe, 0) + 1
@@ -723,15 +853,27 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 c = F.col(p) == F.col(f"__k{i}")
                 cond = c if cond is None else (cond & c)
             dfs[op.probe] = probe.join(keys, cond, "left_semi")
+            if est > cfg.broadcast_key_rows:
+                scan_local[op.probe] = False
+                tier = "exact_shuffle"
+            else:
+                tier = "exact_broadcast"
             applied = True
 
         if applied or empty:
             res.applied.append(op)
+            res.applied_tiers.append(
+                "empty" if empty else tier)
             reduced.add(op.probe)
             info[op.probe] |= info[op.build]
             epochs[op.probe] = epochs.get(op.probe, 0) + 1
             if op.probe in rows_est:
                 rows_est[op.probe] *= REDUCTION_DECAY
+        else:
+            # op survived every skip but landed nothing (suppressed key
+            # tier with a no-op minmax range, usually)
+            _drop("dup" if dup_evidence
+                  else ("gate2c" if suppress_bf else "noop"))
         if cfg.profiling:
             t0 = time.perf_counter()
             st.rows_out = dfs[op.probe].count()

@@ -58,9 +58,54 @@ def _build_first_children(node) -> list:
     return kids
 
 
+def _norm_path(p: str) -> str:
+    """Strip URI scheme + trailing slash so Hadoop rootPaths
+    ('file:/x/y/') compare equal to catalog paths ('/x/y')."""
+    if "://" in p:
+        p = p.split("://", 1)[1]
+    elif p.startswith("file:"):
+        p = p[5:]
+    return p.rstrip("/")
+
+
+def _leaf_paths(node) -> "list | None":
+    """Structural root paths of a leaf scan, or None.
+
+    FileSourceScanExec exposes relation().location().rootPaths(); the
+    toString() fallback below truncates Location metadata at
+    spark.sql.maxMetadataStringLength (default 100 chars), which made
+    long fixture paths silently match nothing (ADVICE r7).
+    """
+    try:
+        rp = node.relation().location().rootPaths()
+        return [_norm_path(rp.apply(i).toString())
+                for i in range(rp.size())]
+    except Exception:
+        return None
+
+
+def _key_names(jkeys) -> "frozenset | None":
+    """Column names of a hash join's key expressions, or None when any
+    key is not a bare attribute (unknown => caller must not assume)."""
+    try:
+        names = []
+        for k in _jseq(jkeys):
+            if k.getClass().getSimpleName() != "AttributeReference":
+                return None
+            names.append(k.name())
+        return frozenset(names)
+    except Exception:
+        return None
+
+
+#: one-shot diagnostic for the silently-inert failure mode (ADVICE r7)
+_warned_no_match = False
+
+
 def scan_prefilter_pairs(joined: DataFrame, alias_paths: dict
                          ) -> "set | None":
-    """(probe_alias, build_alias) pairs the HOST plan already filters.
+    """(probe_alias, build_alias, probe_key_names) triples the HOST
+    plan already filters.
 
     Walks the un-rewritten physical plan bottom-up and records, for
     every base-table leaf, the inner BroadcastHashJoins that sit on its
@@ -73,12 +118,21 @@ def scan_prefilter_pairs(joined: DataFrame, alias_paths: dict
     filtered part directly above the lineitem scan and the
     part->lineitem semi cost 8% of the query).
 
+    ``probe_key_names`` is the frozenset of probe-side join-key column
+    names (None when a key is a computed expression): gate 2e must only
+    suppress a semi whose probe columns the host join actually filters
+    on (ADVICE r7 — today Catalyst folds all equi-keys of a pair into
+    one BHJ, so a mismatch is theoretical, but suppression fires only
+    on certainty).
+
     ``alias_paths``: alias -> parquet path of its base table; an alias
-    is matched to a leaf scan by path substring. Ambiguity (two aliases
+    is matched to a leaf scan structurally via the scan relation's
+    rootPaths (toString substring as fallback). Ambiguity (two aliases
     sharing a path — a self-join) drops BOTH aliases: suppression must
     only fire on certainty. Returns None on any traversal failure
     (callers treat the gate as inert).
     """
+    global _warned_no_match
     try:
         # NOT sparkPlan: exchanges are only inserted by
         # EnsureRequirements during executedPlan preparation. Under AQE
@@ -91,19 +145,30 @@ def scan_prefilter_pairs(joined: DataFrame, alias_paths: dict
         # self-joins: a path claimed by >1 alias matches no one
         by_path: dict = {}
         for a, p in alias_paths.items():
-            by_path.setdefault(p, []).append(a)
+            by_path.setdefault(_norm_path(p), []).append(a)
         uniq = {p: als[0] for p, als in by_path.items() if len(als) == 1}
         pairs: set = set()
+        matched_any = [False]
+
+        def leaf_aliases(node) -> set:
+            roots = _leaf_paths(node)
+            if roots is not None:
+                hit = {uniq[r] for r in roots if r in uniq}
+            else:
+                s = node.toString()
+                hit = {a for p, a in uniq.items() if p in s}
+            # one alias per leaf; anything else is unmatchable
+            if len(hit) == 1:
+                matched_any[0] = True
+                return hit
+            return set()
 
         def walk(node) -> "tuple[set, set]":
             """returns (aliases in subtree, aliases still pre-exchange)"""
             kids = _jseq(node.children())
             cname = node.getClass().getSimpleName()
             if not kids:
-                s = node.toString()
-                hit = {a for p, a in uniq.items() if p in s}
-                # one alias per leaf; anything else is unmatchable
-                hit = hit if len(hit) == 1 else set()
+                hit = leaf_aliases(node)
                 return set(hit), set(hit)
             subs = [walk(k) for k in kids]
             aliases = set().union(*(s for s, _ in subs))
@@ -121,13 +186,22 @@ def scan_prefilter_pairs(joined: DataFrame, alias_paths: dict
                     # then provably carries that table's keys
                     if len(ra) == 1:
                         b = next(iter(ra))
-                        pairs.update((a, b) for a in ll)
+                        keys = _key_names(node.leftKeys())
+                        pairs.update((a, b, keys) for a in ll)
                     if len(la) == 1:
                         b = next(iter(la))
-                        pairs.update((a, b) for a in rl)
+                        keys = _key_names(node.rightKeys())
+                        pairs.update((a, b, keys) for a in rl)
             return aliases, live
 
         walk(jplan)
+        if alias_paths and not matched_any[0] and not _warned_no_match:
+            _warned_no_match = True
+            import warnings
+
+            warnings.warn(
+                "scan_prefilter_pairs: no leaf scan matched any alias "
+                "path — gate 2e evidence is inert for this plan shape")
         return pairs
     except Exception:
         return None

@@ -172,6 +172,14 @@ class _Walker:
         self.id_map: dict = {}    # exprId -> (alias, col name)
         self.edges: list = []
         self.opaque: set = set()  # aliases under anti/full joins
+        #: aliases below the NULL-PRODUCING side of some outer join:
+        #: conjuncts harvested ABOVE that join see the alias's columns
+        #: post-padding (NULL for unmatched preserved rows), so baking
+        #: them into the base-table shadow is unsound — the classic
+        #: ``LEFT JOIN ... WHERE x IS NULL`` anti idiom would pre-filter
+        #: the base table to its NULL keys (usually empty) and flip the
+        #: anti into keep-everything (r8 finding, JOB jq22)
+        self.null_padded: set = set()
         #: tables referenced INSIDE subquery expressions. The caller's
         #: replay re-analyzes the same SQL against shadow views, so a
         #: reduced shadow would also substitute into the subquery and
@@ -438,19 +446,26 @@ class _Walker:
         elif len(owners) > 1 and _cls(conjunct) == "Or":
             self._imply_from_or(conjunct, how, left_set, right_set)
 
-    @staticmethod
-    def _filter_sound(alias: str, how: str | None,
+    def _filter_sound(self, alias: str, how: str | None,
                       left_set: set, right_set: set) -> bool:
         """May a (possibly implied) local filter owned by ``alias`` be
         baked into its shadow view, given the conjunct's provenance?
 
-        WHERE-clause / inner-join / semi-join conjuncts: always — a row
-        failing the conjunct cannot reach the output. Outer-join ON
-        conjuncts: ONLY when the alias sits on the null-producing side
-        (right of LEFT, left of RIGHT). On the PRESERVED side the join
-        keeps rows that fail the ON clause (they pad with NULLs), so a
-        baked filter both drops preserved rows at replay and unsoundly
-        marks the instance prefiltered for the transfer cascade."""
+        WHERE-clause / inner-join / semi-join conjuncts: only when the
+        alias is not null-padded below (an outer join between the
+        conjunct and the instance means the conjunct sees post-padding
+        values — ``IS NULL`` would keep exactly the padded rows, which
+        no base-table filter can express; r8 finding, JOB jq22's
+        LEFT-JOIN-IS-NULL anti idiom). Outer-join ON conjuncts: ONLY
+        when the alias sits on the null-producing side of THIS join
+        (right of LEFT, left of RIGHT) and is not padded by a deeper
+        outer join — ON applies pre-padding there. On the PRESERVED
+        side the join keeps rows that fail the ON clause (they pad
+        with NULLs), so a baked filter both drops preserved rows at
+        replay and unsoundly marks the instance prefiltered for the
+        transfer cascade."""
+        if alias in self.null_padded:
+            return False
         if how is None or how in ("inner", "left_semi"):
             return True
         if how == "left":
@@ -571,6 +586,15 @@ class _Walker:
                     # full/anti conditions are replayed by the query
                     # itself; hidden subqueries protect their tables
                     self._scan_tolerant(conj, [], [])
+            # AFTER this join's own ON conjuncts (which apply
+            # pre-padding): everything under the null-producing side is
+            # padded for every conjunct harvested above (_filter_sound)
+            if how == "left":
+                self.null_padded |= right_set
+            elif how == "right":
+                self.null_padded |= left_set
+            elif how is None:
+                self.null_padded |= left_set | right_set
             return left_set | right_set
 
         if c not in _PASS_NODES:

@@ -30,10 +30,19 @@ def set_default_config(config: RPTConfig | None) -> None:
     _CONFIG_OVERRIDE = config
 
 
+#: the Engine constructed by the most recent eng() call — certification
+#: tooling reads its last_result (applied ops + tiers) after building a
+#: declared query, e.g. tools/gate2e_ab.py's op inventories
+last_engine: Engine | None = None
+
+
 def eng(spark: SparkSession, sf_dir: str, config: RPTConfig | None = None) -> Engine:
+    global last_engine
     # deterministic timestamp collection vs the DuckDB oracle
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return Engine(spark, sf_dir, config if config is not None else _CONFIG_OVERRIDE)
+    last_engine = Engine(spark, sf_dir,
+                         config if config is not None else _CONFIG_OVERRIDE)
+    return last_engine
 
 
 def dsum(col: Column, alias: str) -> Column:

@@ -141,6 +141,46 @@ def q_sketch_transfer(spark, sf_dir):
     return q_star_join_rpt(spark, sf_dir, config=cfg)
 
 
+@query(
+    "q_subtree_rescue",
+    oracle=f"""
+    SELECT o_orderstatus, COUNT(*) AS cnt, {sql_dsum(REVENUE, "rev")}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE n_name = 'NATION_19'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_subtree_rescue(spark, sf_dir):
+    """Gate 2f (subtree sketch rescue) forced at every SF: with an
+    8-key broadcast ceiling and every host join marked broadcastable,
+    both mid hops (customer->orders, orders->lineitem) are exactly the
+    shape gate 2b3 drops — and the rescue re-expresses each as a
+    scan-fused bloom built from the ALREADY-REDUCED build lineage (the
+    reference's forward pass over reduced rows, rpt_optimizer.cpp:
+    884-937): nation's selectivity crosses two shuffle-tier
+    intermediates without a single exchange. Bloom false positives only
+    ADD rows the final joins drop, so the same-SQL oracle must match
+    exactly."""
+    from ..config import RPTConfig
+
+    cfg = RPTConfig(broadcast_key_rows=8, filter_type="bf_only",
+                    min_probe_rows=0, all_broadcast_bail_rows=0,
+                    backward_min_probe_rows=10**9,
+                    host_broadcast_rows=10**9)
+    e = eng(spark, sf_dir, cfg)
+    j = e.reduce_and_join(
+        {"l": "lineitem", "o": "orders", "c": "customer",
+         "n": Rel("nation", "n_name = 'NATION_19'")},
+        [("l", "o", "l_orderkey", "o_orderkey"),
+         ("o", "c", "o_custkey", "c_custkey"),
+         ("c", "n", "c_nationkey", "n_nationkey")])
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum(revenue_col(), "rev"))
+
+
 @query("q_sql_auto_rpt", oracle=FLAGSHIP_ORACLE)
 def q_sql_auto_rpt(spark, sf_dir, config=None):
     """The flagship star join as a plain SQL string: the join graph is

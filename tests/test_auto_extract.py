@@ -553,3 +553,39 @@ def test_persist_release_across_engine_instances(spark, sf_dir):
     for df in held:
         assert not df.storageLevel.useMemory, (
             "previous query's persisted build leaked across instances")
+
+
+def test_left_join_is_null_filter_never_baked(spark, sf_dir):
+    """The LEFT-JOIN-...-WHERE-IS-NULL anti idiom: a WHERE conjunct
+    owned by a table under the null-PRODUCING side of an outer join
+    sees post-padding values, so baking it into the base table's
+    shadow would pre-filter the table to its NULL keys and flip the
+    anti into keep-everything (r8 finding via JOB jq22). Extraction
+    must refuse the bake; the rewrite (forced gates) must still match
+    the off leg exactly. ON-clause conjuncts inside the derived table
+    (pre-padding) keep baking."""
+    sql = """
+        SELECT COUNT(*) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        LEFT JOIN (SELECT l_orderkey FROM lineitem, supplier
+                   WHERE l_suppkey = s_suppkey AND s_nationkey = 1) sk
+               ON sk.l_orderkey = o_orderkey
+        WHERE sk.l_orderkey IS NULL AND c_custkey % 3 = 0
+    """
+    e = Engine(spark, sf_dir)
+    e.catalog.register_views()
+    ext = extract_join_graph(spark.sql(sql), e.catalog.known_tables())
+    assert ext is not None and hasattr(ext, "instances")
+    assert ext.instances["lineitem"].filters == [], (
+        "post-padding IS NULL conjunct must not bake")
+    assert any("s_nationkey" in f
+               for f in ext.instances["supplier"].filters), (
+        "pre-padding derived-table filter must still bake")
+
+    cfg = RPTConfig(all_broadcast_bail_rows=0, min_probe_rows=0,
+                    host_broadcast_rows=0, require_selective_build=False)
+    on = Engine(spark, sf_dir, cfg).sql(sql).collect()
+    off = Engine(spark, sf_dir, RPTConfig(enabled=False)).sql(
+        sql, auto_rpt=False).collect()
+    assert sorted(map(tuple, on)) == sorted(map(tuple, off))

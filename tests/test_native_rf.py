@@ -78,3 +78,48 @@ def test_set_native_rf_roundtrip(spark):
     set_native_rf(spark, False)
     assert spark.conf.get(_ENABLED) == "false"
     assert spark.conf.get(_APP) == default_app
+
+
+def test_composed_arbitration_dup_bail_keeps_suppression(spark):
+    """Composed-mode per-query arbitration: a query whose only lost
+    transfer candidates died to the duplication gates (2d/2e) is an
+    all-broadcast-join shape where native runtime blooms duplicate the
+    same joins — Engine.sql must keep injection suppressed for it even
+    though the rewrite did not engage (JOB jq1/jq4/jq6). A query that
+    bails for any other reason must restore the session value (Q21's
+    self-join class, where native blooms reach shapes we skip)."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine
+
+    sf = "/root/testdata/sf0.001"
+    cfg = RPTConfig(all_broadcast_bail_rows=0, min_probe_rows=0,
+                    host_broadcast_rows=1_000_000)
+    dup_sql = """
+        SELECT COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE o_orderstatus = 'F' AND s_nationkey = 1
+    """
+    one_edge_sql = """
+        SELECT COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    """
+    spark.conf.set(_ENABLED, "true")
+    try:
+        for attempt in ("first", "bail-cache"):  # cached path must match
+            e = Engine(spark, sf, cfg)
+            e.sql(dup_sql)
+            assert not e.last_sql_rewritten
+            assert e._keep_rf_suppressed, attempt
+            assert spark.conf.get(_ENABLED) == "false", attempt
+            assert e.last_result is None or (
+                not e.last_result.applied
+                and e.last_result.drops.get("dup", 0) > 0)
+            # a non-dup bail restores the stashed session value
+            e2 = Engine(spark, sf, cfg)
+            e2.sql(one_edge_sql)
+            assert not e2._keep_rf_suppressed, attempt
+            assert spark.conf.get(_ENABLED) == "true", attempt
+    finally:
+        spark.conf.set(_ENABLED, "false")

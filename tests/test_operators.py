@@ -160,7 +160,8 @@ def test_redundant_shuffle_semi_skipped_on_degree1_probe(spark, sf_dir):
     base = dict(broadcast_key_rows=1, filter_type="bf_only",
                 min_probe_rows=0, require_selective_build=False,
                 all_broadcast_bail_rows=0, max_build_keep_frac=1.0,
-                observe_est_factor=0.0, host_broadcast_rows=0)
+                observe_est_factor=0.0, host_broadcast_rows=0,
+                sketch_rescue=False)  # gate 2f tested separately
 
     on = Engine(spark, sf_dir, RPTConfig(**base))
     on.reduce(rels, edges)
@@ -192,6 +193,68 @@ def test_redundant_shuffle_semi_skipped_on_degree1_probe(spark, sf_dir):
         spark, sf_dir, RPTConfig(**base)).reduce_and_join(
             rels, edges).select("l_orderkey", "l_linenumber").collect())
     assert a == b
+
+
+def test_sketch_rescue_subtree_hop(spark, sf_dir):
+    """Gate 2f: a forward shuffle-tier hop that gate 2b3 would drop is
+    rescued scan-locally when the build's lineage is scan-local and
+    downstream mass repays the eager jobs — the reference's
+    forward-pass-over-reduced-rows semantics (rpt_optimizer.cpp:
+    884-937), which is how transitive selectivity reaches a fact
+    through a huge intermediate (JOB jq10/jq11/jq13 vs native's
+    subtree blooms). The observed cardinality picks the tier: exact
+    broadcast when it fits, scan-fused bloom when it doesn't."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
+
+    # c (selective) -> o (unfiltered mid) -> l (fact): o->l is the
+    # rescue candidate — degree-1 probe, so 2b3 prices zero exchanges
+    rels = {"l": "lineitem", "o": "orders",
+            "c": Rel("customer", "c_custkey % 50 = 0")}
+    edges = [("l", "o", "l_orderkey", "o_orderkey"),
+             ("o", "c", "o_custkey", "c_custkey")]
+    base = dict(broadcast_key_rows=8, filter_type="bf_only",
+                min_probe_rows=0, require_selective_build=True,
+                all_broadcast_bail_rows=0, backward_min_probe_rows=10**9,
+                host_broadcast_rows=0)
+
+    def run(cfg):
+        e = Engine(spark, sf_dir, cfg)
+        red = e.reduce(rels, edges, cfg)
+        return e, red
+
+    # c observes to ~3 rows (broadcast semi, o stays scan-local); the
+    # reduced o then observes above broadcast_key_rows -> bloom tier
+    e, red = run(RPTConfig(**base))
+    probes = {op.probe for op in e.last_result.applied}
+    assert "o" in probes and "l" in probes
+    plan_l = red["l"]._jdf.queryExecution().analyzed().toString()
+    assert "xxhash64" in plan_l, "rescued hop must be a scan-fused bloom"
+
+    # rescued results == baseline (bloom false positives are dropped by
+    # the final join; the reduction itself must lose no rows)
+    cols = ["l_orderkey", "l_linenumber"]
+    a = sorted(tuple(r) for r in Engine(
+        spark, sf_dir, RPTConfig(enabled=False)).reduce_and_join(
+            rels, edges).select(*cols).collect())
+    b = sorted(tuple(r) for r in Engine(
+        spark, sf_dir, RPTConfig(**base)).reduce_and_join(
+            rels, edges).select(*cols).collect())
+    assert a == b
+
+    # scan-local guard: force c's semi into the shuffle tier (no
+    # observation) — o's lineage now carries an exchange, rescue must
+    # refuse (the r6 sketch-regime Q7 lesson)
+    e2, _ = run(RPTConfig(**{**base, "observe_est_factor": 0.0}))
+    assert "l" not in {op.probe for op in e2.last_result.applied}
+
+    # downstream-weight guard: an absurd factor refuses the rescue
+    e3, _ = run(RPTConfig(**{**base, "sketch_rescue_probe_factor": 1e9}))
+    assert "l" not in {op.probe for op in e3.last_result.applied}
+
+    # master switch
+    e4, _ = run(RPTConfig(**{**base, "sketch_rescue": False}))
+    assert "l" not in {op.probe for op in e4.last_result.applied}
 
 
 def test_exact_dedup_keeps_one_per_hash(spark, sf_dir):

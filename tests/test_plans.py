@@ -546,4 +546,10 @@ def test_host_prefiltered_gate_2e(spark, sf_dir):
         df, {"l": e.catalog.path("lineitem"),
              "s": e.catalog.path("supplier"),
              "o": e.catalog.path("orders")})
-    assert pairs is not None and ("l", "s") in pairs
+    assert pairs is not None
+    ls = [(p, b, k) for p, b, k in pairs if (p, b) == ("l", "s")]
+    assert ls, pairs
+    # the host BHJ's probe-side key names must cover the edge column
+    # (ADVICE r7: gate 2e only suppresses when the host join provably
+    # filters on the semi's own keys)
+    assert all(k is None or "l_suppkey" in k for _, _, k in ls), ls

@@ -57,7 +57,7 @@ WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
 def ensure_fixture() -> None:
     import duckdb
 
-    tag = f"f{FACT}"
+    tag = f"f{FACT}_v2"  # v2: + movie_info (skewed string FK)
     marker = os.path.join(OUT_DIR, f"_DONE_{tag}")
     if os.path.exists(marker):
         return
@@ -139,6 +139,21 @@ def ensure_fixture() -> None:
       SELECT 't_' || lpad((1 + (hash(i + 424243) % {NT}))::VARCHAR, 9, '0') AS mk_tid,
              'kw_' || lpad((1 + (hash(i + 515151) % {NK}))::VARCHAR, 7, '0') AS mk_kwid
       FROM generate_series(1, {FACT // 3}) s(i)""", "movie_keyword")
+    # skewed string FK: 30% of movie_info rows hit 1,000 hot titles
+    # (per-key ~{FACT//5} * 0.3 / 1000 rows), the rest uniform — the
+    # skewed-join regime the reference's IMDB workload hits on
+    # title_id hot spots (README.md:81-89); JOB queries jq15/jq16/
+    # jq20/jq25 join through it
+    copy(f"""
+      SELECT CASE WHEN i % 10 < 3
+                  THEN 't_' || lpad((1 + (hash(i * 7 + 11) % 1000))::VARCHAR, 9, '0')
+                  ELSE 't_' || lpad((1 + (hash(i + 616161) % {NT}))::VARCHAR, 9, '0')
+             END AS mi_tid,
+             CASE WHEN i % 25 = 3 THEN 'rating: ' || (i % 10)::VARCHAR
+                  WHEN i % 25 = 4 THEN 'runtime: ' || (60 + i % 120)::VARCHAR
+                  ELSE 'info-' || (i % 499)::VARCHAR END AS mi_info,
+             1950 + (hash(i + 99) % 70) AS mi_year
+      FROM generate_series(1, {FACT // 5}) s(i)""", "movie_info")
     open(marker, "w").close()
     print(f"# fixture: castinfo={FACT} at {OUT_DIR} "
           f"in {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
@@ -300,6 +315,110 @@ QUERIES = {
       LEFT JOIN keyword ON mk_kwid = kw_id AND kw_word = 'sequel'
       WHERE co_name LIKE '%Warner%' AND co_country = '[us]'
     """,
+    # -- r8 additions: subtree-fanout, LIKE-heavy weak dims, skewed FK --
+    # skewed fact reached through a rescued keyword arm: reduction must
+    # flow keyword -> movie_keyword -> title -> movie_info (hot keys)
+    "jq15": """
+      SELECT MIN(t_title) AS min_title, MIN(mi_info) AS min_info,
+             COUNT(*) AS n
+      FROM title, movie_info, movie_keyword, keyword
+      WHERE mi_tid = t_id AND mk_tid = t_id AND mk_kwid = kw_id
+        AND kw_word = 'sequel'
+    """,
+    # skewed fact + selective title predicates, no dim arm at all
+    "jq16": """
+      SELECT MIN(mi_info) AS min_info, COUNT(*) AS n
+      FROM title, movie_info
+      WHERE mi_tid = t_id
+        AND t_title LIKE '%Returns%' AND t_year > 2005
+        AND mi_info LIKE 'rating:%'
+    """,
+    # LIKE-heavy with ~100% selectivity everywhere: bounded downside —
+    # the gates must disengage or tie, never lose
+    "jq17": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_company, company
+      WHERE mc_tid = t_id AND mc_coid = co_id
+        AND co_name LIKE '%Pictures%'
+        AND mc_note LIKE '%(%'
+    """,
+    # low-selectivity keyword LIKE over two facts (native-friendly
+    # weak-arm fanout)
+    "jq18": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_keyword, keyword, movie_company
+      WHERE mk_tid = t_id AND mk_kwid = kw_id AND mc_tid = t_id
+        AND kw_word LIKE '%-1%'
+        AND t_year BETWEEN 1995 AND 2005
+    """,
+    # three-hop chain: the company filter must cross TWO facts to reach
+    # keyword (company -> movie_company -> title -> movie_keyword)
+    "jq19": """
+      SELECT MIN(kw_word) AS min_kw, COUNT(*) AS n
+      FROM company, movie_company, title, movie_keyword, keyword
+      WHERE mc_coid = co_id AND mc_tid = t_id
+        AND mk_tid = t_id AND mk_kwid = kw_id
+        AND co_name LIKE 'Universal %'
+        AND t_kind = 'kind_3'
+    """,
+    # pincer over the skewed fact: person arm + movie_info skew share
+    # title
+    "jq20": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, castinfo, person, movie_info
+      WHERE ci_tid = t_id AND ci_pid = p_id AND mi_tid = t_id
+        AND p_name LIKE 'Lambda, %'
+        AND mi_info LIKE 'runtime:%'
+        AND t_year BETWEEN 1960 AND 1990
+    """,
+    # IN-subquery mark over the skewed fact (jq12's shape + skew)
+    "jq21": """
+      SELECT MIN(mi_info) AS min_info, COUNT(*) AS n
+      FROM title, movie_info
+      WHERE mi_tid = t_id
+        AND t_id IN (SELECT mc_tid FROM movie_company, company
+                     WHERE mc_coid = co_id AND co_name LIKE '%Warner%')
+        AND t_year > 2010
+    """,
+    # anti-join shape via LEFT ... IS NULL: titles with a company but
+    # no 'sequel' keyword (the transfer must leave the anti arm alone)
+    "jq22": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title
+      JOIN movie_company ON mc_tid = t_id
+      JOIN company ON mc_coid = co_id
+      LEFT JOIN (SELECT mk_tid FROM movie_keyword, keyword
+                 WHERE mk_kwid = kw_id AND kw_word = 'sequel') sk
+             ON sk.mk_tid = t_id
+      WHERE sk.mk_tid IS NULL
+        AND co_country = '[de]' AND co_name LIKE 'Warner%'
+    """,
+    # weak year windows on both fact arms, no selective dim: native's
+    # home turf (the jq7 class, wider)
+    "jq23": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_keyword, movie_company, company
+      WHERE mk_tid = t_id AND mc_tid = t_id AND mc_coid = co_id
+        AND co_country IN ('[us]', '[de]', '[fr]')
+        AND t_year BETWEEN 1970 AND 2000
+    """,
+    # empty build cascade: a keyword that matches nothing must
+    # short-circuit every downstream arm
+    "jq24": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_keyword, keyword, castinfo
+      WHERE mk_tid = t_id AND mk_kwid = kw_id AND ci_tid = t_id
+        AND kw_word = 'zzz-no-such-keyword'
+    """,
+    # skewed fact with a weak dim filter (hot keys survive the
+    # reduction): skew-robustness of the rescued tier
+    "jq25": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_info, movie_company, company
+      WHERE mi_tid = t_id AND mc_tid = t_id AND mc_coid = co_id
+        AND co_country = '[fr]'
+        AND t_kind IN ('kind_0', 'kind_4', 'kind_8')
+    """,
 }
 
 
@@ -342,32 +461,51 @@ def main() -> int:
     con = duckdb.connect()
     con.sql(f"SET threads={os.cpu_count()}")
     for t in ("title", "company", "keyword", "person", "castinfo",
-              "movie_company", "movie_keyword"):
+              "movie_company", "movie_keyword", "movie_info"):
         con.sql(f"CREATE VIEW {t} AS "
                 f"SELECT * FROM '{OUT_DIR}/{t}.parquet'")
     oracle_ok: dict = {}
     engaged: dict = {}
+    ops_inv: dict = {}
+    arb_suppressed: dict = {}
     for name, sql in QUERIES.items():
         e = Engine(spark, OUT_DIR)
         got = _canon(tuple(r) for r in e.sql(sql).collect())
         engaged[name] = bool(e.last_sql_rewritten)
+        lr = e.last_result
+        ops_inv[name] = ([f"{op.phase[0]}:{op.build}->{op.probe}[{t}]"
+                          for op, t in zip(lr.applied, lr.applied_tiers)]
+                         if lr is not None else [])
+        # composed arbitration verdict for UN-engaged queries: True =
+        # the dup-bail evidence keeps native injection suppressed
+        arb_suppressed[name] = bool(getattr(e, "_keep_rf_suppressed",
+                                            False))
         want = _canon(con.sql(sql).fetchall())
         oracle_ok[name] = (got == want)
         print(f"# oracle {name}: match={oracle_ok[name]} "
-              f"engaged={engaged[name]} rows={got}",
+              f"engaged={engaged[name]} ops={ops_inv[name]} rows={got}",
               file=sys.stderr, flush=True)
 
-    # -- timing: off / rpt / native / composed, rotated min-of-N -------
-    MODES = ("off", "rpt", "native", "composed")
+    # -- timing: off / rpt / native / composed / dual, rotated min-of-N.
+    #    "dual" = engine on WITH native injection live and suppression
+    #    off — the A/B for composed's per-edge-impossible fallback (the
+    #    session-wide suppression while engaged): if dual ever beat
+    #    composed on an engaged query, suppression would be costing a
+    #    bloom the transfer doesn't cover.
+    MODES = ("off", "rpt", "native", "composed", "dual")
 
     def set_mode(mode: str) -> None:
         import duckdb_robust_predicate_transfer_spark.workload.common as wc
         wc.set_default_config(None)
-        set_native_rf(spark, mode in ("native", "composed"))
+        set_native_rf(spark, mode in ("native", "composed", "dual"))
 
     def leg(name: str, mode: str) -> float:
-        cfg = (RPTConfig() if mode in ("rpt", "composed")
-               else RPTConfig(enabled=False))
+        if mode in ("rpt", "composed"):
+            cfg = RPTConfig()
+        elif mode == "dual":
+            cfg = RPTConfig(suppress_native_rf=False)
+        else:
+            cfg = RPTConfig(enabled=False)
         set_mode(mode)
         try:
             t = time.time()
@@ -418,11 +556,16 @@ def main() -> int:
         "shuffle_partitions": SHUFFLE,
         "oracle_ok": oracle_ok,
         "rpt_engaged": engaged,
+        "rpt_ops": ops_inv,
+        "composed_arbitration_suppressed": arb_suppressed,
         "native_blooms_injected": blooms,
         "geomean_sec": {m: geo(m) for m in MODES},
         "rpt_vs_off_geomean": _ratio(geo("off"), geo("rpt")),
         "rpt_vs_native_geomean": _ratio(geo("native"), geo("rpt")),
         "composed_vs_off_geomean": _ratio(geo("off"), geo("composed")),
+        "composed_vs_native_geomean": _ratio(geo("native"),
+                                             geo("composed")),
+        "composed_vs_dual_geomean": _ratio(geo("dual"), geo("composed")),
         "per_query_sec": {q: {m: (None if best[q][m] is math.inf
                                   else round(best[q][m], 3))
                               for m in MODES} for q in QUERIES},

@@ -125,7 +125,7 @@ def main() -> int:
 
     ensure_fixture()
 
-    oracle_ok = None
+    oracle_ok, oracle_log = None, None
     if not skip_oracle:
         here = os.path.dirname(os.path.abspath(__file__))
         env = dict(os.environ)
@@ -144,8 +144,11 @@ def main() -> int:
         tail = (r.stdout or "").strip().splitlines()
         print("\n".join(tail[-3:]), file=sys.stderr, flush=True)
         # persist the full oracle output: a '21 ok, 1 fail' summary
-        # without the FAIL line is undiagnosable after the fact (r7)
-        with open("/tmp/tpch_scale_oracle.log", "w") as fh:
+        # without the FAIL line is undiagnosable after the fact (r7).
+        # Run-unique path (replication + pid): back-to-back scale runs
+        # must not clobber each other's only failure diagnostics.
+        oracle_log = f"/tmp/tpch_scale_oracle_x{REP}_{os.getpid()}.log"
+        with open(oracle_log, "w") as fh:
             fh.write(r.stdout or "")
             fh.write("\n--- stderr ---\n")
             fh.write((r.stderr or "")[-20000:])
@@ -319,6 +322,7 @@ def main() -> int:
         "io_codec": os.environ.get("DRPT_IO_CODEC", "lz4"),
         "rf_emulated": EMULATE_RF,
         "oracle_22_queries_ok": oracle_ok,
+        "oracle_log": oracle_log,
         "queries_timed": len(ok_qs),
         "failed": failed,
         "geomean_sec": {m: geo(m) for m in MODES},
