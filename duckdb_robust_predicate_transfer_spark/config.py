@@ -80,6 +80,24 @@ class RPTConfig:
     #: probe-wide shuffle. Beyond, the exact shuffle-tier semi join
     #: remains the right tool (bloom.py module docstring).
     sketch_max_keys: int = 64_000_000
+    #: probe-side tier choice (r8): when the probe has at least this
+    #: many estimated rows, a key-set op ships as a scan-fused Bloom
+    #: BITMAP even though the build is broadcast-tier — the bitmap's
+    #: k bit-tests cost ~4-5x less per probe row than a broadcast-hash
+    #: semi's hash-relation lookup (measured on a 50M-row string-key
+    #: fact: bloom 0.8-1.5 s vs left_semi 4.2-5.0 s for the SAME
+    #: reduction), and on a huge scan the per-row term is the whole
+    #: cost. This is exactly why Spark's native InjectRuntimeFilter
+    #: ships a bloom rather than a semi, and the reference's filter IS
+    #: a bloom (bloom_filter.cpp:27-78) — the exact-key semi remains
+    #: the right tool for smaller probes, where its zero false
+    #: positives feed cleaner statistics downstream and the build cost
+    #: difference dominates. FP rows (~1%) are dropped by the final
+    #: exact join, so results are identical. 0 disables (exact semis
+    #: everywhere, the pre-r8 behavior). DSv2 probes keep the exact
+    #: key set (it feeds in-scan row-group pruning + the adaptive row
+    #: filter, strictly better than any row predicate).
+    bloom_probe_min_rows: int = 8_000_000
     #: skip transfer from build sides estimated larger than this unless they
     #: carry a filter (bounded-downside gate; the Robust paper's point)
     max_unfiltered_build_rows: int = 50_000_000

@@ -82,6 +82,11 @@ _EXT_CACHE: dict = {}
 #: mechanism itself.
 _BAIL_CACHE: dict = {}
 
+#: (statement cache key, broadcast threshold) -> scan_prefilter_pairs
+#: result (possibly None): the gate-2d/2e host-plan evidence, cached
+#: because it costs a physical planning pass per statement
+_PREFILTER_CACHE: dict = {}
+
 
 def normalize_edges(edges: list) -> list:
     out = []
@@ -340,7 +345,7 @@ class Engine:
         # shadowed view — value the host's own join cannot deliver
         # (TPC-H Q17's 2.5x win is exactly that op).
         host_pre: "set | None" = None
-        if cfg.skip_host_prefiltered_semi:
+        if cfg.skip_host_prefiltered_semi or cfg.skip_no_exchange_probe:
             from .plans.catalyst_order import scan_prefilter_pairs
 
             alias_paths = {}
@@ -349,7 +354,26 @@ class Engine:
                     alias_paths[alias] = self.catalog.path(inst.table)
                 except Exception:
                     pass
-            host_pre = scan_prefilter_pairs(df, alias_paths)
+            # statement-level cache (the _EXT_CACHE rationale): the
+            # pair evidence is a pure function of the query, the table
+            # schemas/sizes and the planner confs — and computing it
+            # forces a physical planning pass (~0.2-0.5 s) that
+            # dominated repeated 1-2 s JOB queries. The broadcast
+            # threshold joins the key because it decides which BHJs
+            # exist at all.
+            try:
+                thresh = self.spark.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold")
+            except Exception:
+                thresh = ""
+            pk = (ck, thresh)
+            if pk in _PREFILTER_CACHE:
+                host_pre = _PREFILTER_CACHE[pk]
+            else:
+                host_pre = scan_prefilter_pairs(df, alias_paths)
+                if len(_PREFILTER_CACHE) >= 256:
+                    _PREFILTER_CACHE.pop(next(iter(_PREFILTER_CACHE)))
+                _PREFILTER_CACHE[pk] = host_pre
             if host_pre:
                 excl = ({v[0] for v in virt_edges}
                         | set(virt_rels)

@@ -345,6 +345,9 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
     #: served a stale key set.
     epochs: dict = {}
     keys_cache: dict = {}
+    #: same sharing for the bitmap tier: one build feeding several
+    #: probes on the same columns builds the bloom once
+    bloom_cache: dict = {}
 
     # stacked-CREATE merge (the analogue of BuildStackedBFOperators,
     # rpt_optimizer.cpp:1174-1216: adjacent CREATEs over one table share
@@ -514,8 +517,21 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 # company semi, broadcastable) and mis-sizes the bitmap
                 # (an oversized bloom broadcasts MBs for nothing). One
                 # scan-local count job, reused across ops via rows_est.
+                # PERSIST first: the count materializes the reduced
+                # build (selective by gate 2b, so small), and the
+                # key-set/bloom build plus the final join then read the
+                # materialized rows instead of re-deriving the
+                # multi-million-row scan-local lineage once each
+                # (measured on jq13: 3 extra 12.5M-row movie_company
+                # scans behind a 124k-row reduction). Released with the
+                # schedule's other persists on the next reduce().
                 if op.build not in observed:
                     observed.add(op.build)
+                    if (cfg.persist_reduced
+                            and build not in res.persisted):
+                        build = build.persist()
+                        dfs[op.build] = build
+                        res.persisted.append(build)
                     est = float(build.count())
                     rows_est[op.build] = est
                     rows_pre[op.build] = est
@@ -555,6 +571,13 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         #     relation) and is separately payoff-checked below
         #     (clustering + base-size bounds), so it must not be lost
         #     with the keys (ADVICE r5).
+        #: probe-side tier choice (config.bloom_probe_min_rows): on a
+        #: huge probe the per-row filter cost IS the op, and the
+        #: bitmap's bit-tests are 4-5x cheaper than a broadcast-hash
+        #: semi's hash lookups (measured, 50M-row string-key fact)
+        probe_big = (cfg.bloom_probe_min_rows > 0
+                     and rows_est.get(op.probe, 0.0)
+                     >= cfg.bloom_probe_min_rows)
         suppress_bf = False
         dup_evidence = False  # suppression specifically by gates 2d/2e
         if (cfg.bf_benefit_probe_ratio > 0 and cfg.filter_type != "minmax_only"
@@ -565,7 +588,13 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             if (pre > cfg.bf_cheap_keys
                     and rows_est.get(op.probe, float("inf"))
                     < cfg.bf_benefit_probe_ratio * pre):
-                suppress_bf = True
+                if probe_big and not _is_dsv2(op.probe):
+                    # the bitmap ships no driver hash relation — gate
+                    # 2c's fixed cost vanishes, so escalate the tier
+                    # instead of losing the op
+                    force_sketch = True
+                else:
+                    suppress_bf = True
         # 2d. exchange-benefit gate for the BROADCAST tier (gate 2b3's
         #     insight one tier down): when every other neighbor of the
         #     probe is itself broadcastable, the final plan joins the
@@ -609,7 +638,25 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             crosses_exchange = any(
                 rows_est.get(n, float("inf")) > cfg.host_broadcast_rows
                 for n, _cols in others)
-            if not crosses_exchange and not _is_dsv2(op.probe):
+            # SQL-path refinement (r8): gate 2d's graph estimates model
+            # the plan join_all would build (size-hinted BHJs), but the
+            # REPLAYED host plan broadcasts by Catalyst's STATIC
+            # sizeInBytes, which ignores filter selectivity — a
+            # year-filtered 60MB title stays SMJ, the probe fact pays
+            # its full shuffle map-write, and the suppressed semi was
+            # the only thing that could have landed the reduction
+            # before it (JOB jq13: castinfo's 50M-row exchange behind a
+            # suppressed title->castinfo hop; native's subtree bloom
+            # wins exactly by filtering that write). When host-plan
+            # evidence exists, suppression additionally requires the
+            # host to REALLY pre-filter this pair below the probe's
+            # first exchange — the same certainty bar as gate 2e.
+            host_really_filters = (host_prefiltered is None or any(
+                p == op.probe and b == op.build
+                and (k is None or set(op.probe_cols) <= k)
+                for p, b, k in host_prefiltered))
+            if (not crosses_exchange and host_really_filters
+                    and not _is_dsv2(op.probe)):
                 suppress_bf = True
                 dup_evidence = True
         # 2e. host-prefiltered duplication: the un-rewritten host plan
@@ -707,7 +754,9 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         # column-pruned recompute of the reduction lineage beats
         # materializing the build's full (wide) row payload.
         sketch_tier = (cfg.filter_type in ("all", "bf_only")
-                       and (_sketch_tier(cfg, est) or force_sketch))
+                       and (_sketch_tier(cfg, est) or force_sketch
+                            or (probe_big and not suppress_bf
+                                and not _is_dsv2(op.probe))))
         if (cfg.persist_reduced and op.build in reduced
                 and (est >= cfg.persist_min_rows
                      or op.build in multi_filter_builds)
@@ -792,13 +841,17 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             from .bloom import build_bloom, probe_bloom
 
             t0 = time.perf_counter()
-            stat_cols = _minmax_cols(build, op) if want_minmax else []
-            # a decayed estimate can undershoot the reduced build;
-            # build_bloom's resize rule self-corrects with one rebuild
-            # (ref physical_create_bf.cpp:385-406)
-            bloom = build_bloom(build, list(op.build_cols),
-                                est if est != float("inf") else 1e6,
-                                stat_cols=stat_cols)
+            bck = (op.build, op.build_cols, epochs.get(op.build, 0))
+            bloom = bloom_cache.get(bck)
+            if bloom is None:
+                stat_cols = _minmax_cols(build, op) if want_minmax else []
+                # a decayed estimate can undershoot the reduced build;
+                # build_bloom's resize rule self-corrects with one
+                # rebuild (ref physical_create_bf.cpp:385-406)
+                bloom = build_bloom(build, list(op.build_cols),
+                                    est if est != float("inf") else 1e6,
+                                    stat_cols=stat_cols)
+                bloom_cache[bck] = bloom
             st.build_ms = (time.perf_counter() - t0) * 1e3
             rows_est[op.build] = float(bloom.n_rows)
             rows_pre[op.build] = float(bloom.n_rows)
