@@ -474,6 +474,7 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         #      broadcast dims, so the "reduction feeds the probe's other
         #      joins" rationale priced at zero exchanges saved.
         force_sketch = False
+        rescue_post_check = False
         if (cfg.skip_redundant_shuffle_semi
                 and neighbor_edges is not None
                 and est > cfg.broadcast_key_rows
@@ -512,50 +513,67 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 if not ok:
                     _drop("gate2b3")
                     continue
-                # observe the build's true cardinality: the decay guess
-                # both mis-tiers (jq13's movie_company is 1% after its
-                # company semi, broadcastable) and mis-sizes the bitmap
-                # (an oversized bloom broadcasts MBs for nothing). One
-                # scan-local count job, reused across ops via rows_est.
-                # PERSIST first: the count materializes the reduced
-                # build (selective by gate 2b, so small), and the
-                # key-set/bloom build plus the final join then read the
-                # materialized rows instead of re-deriving the
-                # multi-million-row scan-local lineage once each
-                # (measured on jq13: 3 extra 12.5M-row movie_company
-                # scans behind a 124k-row reduction). Released with the
-                # schedule's other persists on the next reduce().
-                if op.build not in observed:
-                    observed.add(op.build)
+                # PERSIST the build: its materialization (selective
+                # by gate 2b, so small) makes the bloom build plus the
+                # final join read the cached rows instead of
+                # re-deriving the multi-million-row scan-local lineage
+                # once each (measured on jq13: 3 extra 12.5M-row
+                # movie_company scans behind a 124k-row reduction).
+                # Released with the schedule's other persists on the
+                # next reduce().
+                if (op.phase == "forward" and op.build not in observed):
+                    # forward rescue goes straight to the bitmap: the
+                    # bloom build's word-count totals the observed
+                    # cardinality for free (_build_once), so a
+                    # separate count scan would only duplicate it;
+                    # weakness/overflow are re-checked post-build and
+                    # the probe withheld then (rescue_post_check)
                     if (cfg.persist_reduced
                             and build not in res.persisted):
                         build = build.persist()
                         dfs[op.build] = build
                         res.persisted.append(build)
-                    est = float(build.count())
-                    rows_est[op.build] = est
-                    rows_pre[op.build] = est
+                    force_sketch = True
+                    rescue_post_check = True
                 else:
-                    est = rows_est.get(op.build, est)
-                # re-check size and selectivity on the OBSERVED count:
-                # a weak build (keeps >= max_build_keep_frac of its
-                # base) cuts too little to repay the eager bloom build
-                # (jq7's 50%-country company arm), and an over-large
-                # one is beyond the bitmap's broadcast ceiling
-                if est > cfg.sketch_max_keys:
-                    _drop("gate2b3")
-                    continue
-                if (rows_base is not None and build_base > 0
-                        and est >= cfg.max_build_keep_frac * build_base):
-                    _drop("gate2b3")
-                    continue
-                # est == 0 rides the sketch branch too: its empty-build
-                # short-circuit (probe WHERE false) is the reference's
-                # always-false filter (physical_create_bf.cpp:290-297),
-                # and the broadcast-tier gates below must not reclaim
-                # the op (a zero-key build duplicates no host join)
-                force_sketch = (est > cfg.broadcast_key_rows
-                                or est == 0)
+                    # backward hops must PROVE broadcast-tier — gate 3a
+                    # reads the observed number (an eager bitmap over a
+                    # shuffle-tier ROOT lineage is the r6-documented
+                    # loser); already-observed builds re-tier for free
+                    if op.build not in observed:
+                        observed.add(op.build)
+                        if (cfg.persist_reduced
+                                and build not in res.persisted):
+                            build = build.persist()
+                            dfs[op.build] = build
+                            res.persisted.append(build)
+                        est = float(build.count())
+                        rows_est[op.build] = est
+                        rows_pre[op.build] = est
+                    else:
+                        est = rows_est.get(op.build, est)
+                    # re-check size and selectivity on the OBSERVED
+                    # count: a weak build (keeps >= max_build_keep_frac
+                    # of its base) cuts too little to repay the eager
+                    # bloom build (jq7's 50%-country company arm), and
+                    # an over-large one is beyond the bitmap's
+                    # broadcast ceiling
+                    if est > cfg.sketch_max_keys:
+                        _drop("gate2b3")
+                        continue
+                    if (rows_base is not None and build_base > 0
+                            and est >= cfg.max_build_keep_frac
+                            * build_base):
+                        _drop("gate2b3")
+                        continue
+                    # est == 0 rides the sketch branch too: its
+                    # empty-build short-circuit (probe WHERE false) is
+                    # the reference's always-false filter
+                    # (physical_create_bf.cpp:290-297), and the
+                    # broadcast-tier gates below must not reclaim the
+                    # op (a zero-key build duplicates no host join)
+                    force_sketch = (est > cfg.broadcast_key_rows
+                                    or est == 0)
         # 2c. broadcast-tier benefit gate: BroadcastExchange collects the
         #     key set to the driver and builds the hash relation single-
         #     threaded, so a MID-SIZE key set (above bf_cheap_keys) is a
@@ -855,6 +873,18 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
             st.build_ms = (time.perf_counter() - t0) * 1e3
             rows_est[op.build] = float(bloom.n_rows)
             rows_pre[op.build] = float(bloom.n_rows)
+            observed.add(op.build)
+            if rescue_post_check and bloom.n_rows > 0:
+                bb = (rows_base or {}).get(op.build, 0.0)
+                if (bloom.n_rows > cfg.sketch_max_keys
+                        or (bb > 0 and bloom.n_rows
+                            >= cfg.max_build_keep_frac * bb)):
+                    # the observed build is too weak/big to probe with:
+                    # the bitmap job is sunk (one scan, same as the
+                    # observe-then-refuse path), the probe is withheld
+                    _drop("gate2b3")
+                    res.stats.append(st)
+                    continue
             if bloom.n_rows == 0:
                 dfs[op.probe] = probe.where(F.lit(False))
             else:
