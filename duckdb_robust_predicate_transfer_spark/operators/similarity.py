@@ -292,6 +292,106 @@ def ivf_centroids(corpus: DataFrame, id_col: str = "vec_id",
             .orderBy("__h").limit(n_centroids).drop("__h"))
 
 
+def ivf_topk_batch_fp(corpus: DataFrame, queries: DataFrame,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "qid", qvec_col: str = "qv",
+                      k: int = 10, n_centroids: int = 16,
+                      nprobe: int = 4, iters: int = 2,
+                      scale: int = 1024) -> DataFrame:
+    """IVF top-k with FIXED-POINT Lloyd-trained centroids — the
+    engine-portable verification tier of ``ivf_train_centroids`` (the
+    float production trainer). Every index-construction quantity is an
+    exact integer, so the trained index — and therefore the approximate
+    result set — is a deterministic cross-engine value a SQL oracle can
+    re-derive (the md5_64 pattern that made the LSH/IVF family
+    oracle-bearing, operators/dedup.py HASHERS):
+
+    - vectors quantize as ``floor(x * scale)`` with ``scale`` a power
+      of two: float->double widening and the multiply are both exact
+      IEEE operations, so the BIGINT grid is bit-identical in any
+      engine (a half-up ``round`` would instead sit on tie-breaking
+      behavior that differs between engines).
+    - a centroid is the exact per-dimension BIGINT **sum** of its
+      members, never the mean: cosine ranking is scale-invariant, so
+      dividing by the (varying) member count adds nothing but a float
+      division whose result depends on summation order. Integer sums
+      are associative — the one k-means quantity distribution-order
+      could otherwise touch.
+    - assignment / probe similarities divide one exact integer dot
+      product by the sqrt of another (both < 2^53, hence exactly
+      representable); sqrt and division are IEEE-deterministic, so
+      even argmax TIES resolve identically everywhere.
+    - only the final rescore uses the original float vectors (rounded
+      to 6 dp inside the ordering, the proven-portable pattern of
+      q_ann_recall_ivf).
+
+    Magnitude bound: |component| <= scale * max|x|; a centroid sum adds
+    ~members * that; dot products stay < 2^53 for corpora up to ~1e7
+    members per centroid at unit-norm embeddings — beyond that, shard
+    the training sample (the production path trains on a sample
+    anyway). Ties: assignment to the LARGER centroid_id (ivf_assign's
+    ``max(struct(sim, id))``), probe to the SMALLER (ivf_topk_batch's
+    row_number asc)."""
+    qz = (f"transform({{c}}, x -> "
+          f"cast(floor(cast(x as double) * {scale}) as bigint))")
+    idot = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L,"
+            " (s, v) -> s + v)")
+
+    def isim(v: str, c: str):
+        # |v| is constant within one argmax/ranking partition -> cancels
+        return (F.expr(idot.format(a=v, b=c)).cast("double")
+                / F.sqrt(F.expr(idot.format(a=c, b=c)).cast("double")))
+
+    qc = corpus.select(F.col(id_col).alias("__vid"),
+                       as_double(vec_col).alias("ed"),
+                       F.expr(qz.format(c=vec_col)).alias("qi"))
+    # portable init: the md5_64 hash-sample, quantized
+    cents = (qc.select(F.col("__vid").alias("centroid_id"),
+                       F.col("qi").alias("ci"),
+                       F.md5(F.col("__vid").cast("string")).alias("__h"))
+             .orderBy("__h", "centroid_id").limit(n_centroids)
+             .drop("__h"))
+
+    def assign(cs: DataFrame) -> DataFrame:
+        return (qc.crossJoin(F.broadcast(cs))
+                .withColumn("sim", isim("qi", "ci"))
+                .groupBy("__vid")
+                .agg(F.max(F.struct(F.col("sim"), F.col("centroid_id")))
+                     .alias("b"))
+                .select("__vid", F.col("b.centroid_id").alias("centroid_id")))
+
+    for _ in range(max(iters, 0)):
+        cents = (assign(cents).join(qc, "__vid")
+                 .select("centroid_id",
+                         F.posexplode("qi").alias("pos", "val"))
+                 .groupBy("centroid_id", "pos")
+                 .agg(F.sum("val").alias("s"))
+                 .groupBy("centroid_id")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "s")))
+                      .alias("sm"))
+                 .select("centroid_id",
+                         F.expr("transform(sm, t -> t.s)").alias("ci")))
+    assigned = assign(cents)
+    qd = queries.select(F.col(qid_col).alias("__qid"),
+                        as_double(qvec_col).alias("qd"),
+                        F.expr(qz.format(c=qvec_col)).alias("qqi"))
+    wq = Window.partitionBy("__qid").orderBy(
+        F.col("sim").desc(), "centroid_id")
+    probe = (qd.crossJoin(F.broadcast(cents))
+             .withColumn("sim", isim("qqi", "ci"))
+             .withColumn("__rn", F.row_number().over(wq))
+             .filter(F.col("__rn") <= nprobe)
+             .select("__qid", "qd", "centroid_id"))
+    w = Window.partitionBy("__qid").orderBy(F.col("cos_sim").desc(), "__vid")
+    return (assigned.join(F.broadcast(probe), "centroid_id")
+            .join(qc.select("__vid", "ed"), "__vid")
+            .withColumn("cos_sim", F.round(cosine_sim("ed", "qd"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__qid").alias(qid_col),
+                    F.col("__vid").alias(id_col), "cos_sim", "rank"))
+
+
 def ivf_train_centroids(corpus: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", n_centroids: int = 16,
                         iters: int = 2) -> DataFrame:

@@ -439,15 +439,130 @@ def q_ann_recall_ivf(spark, sf_dir):
     return ann_recall(exact, approx)
 
 
-@query("q_ann_recall_ivf_trained")  # approximate index metric => rows-only
+def _idot(a: str, b: str) -> str:
+    """DuckDB SQL for an exact integer dot product of two BIGINT lists
+    (list_sum folds to INT128; values stay < 2^53 so the DOUBLE cast is
+    exact — see ivf_topk_batch_fp's magnitude-bound docstring)."""
+    return (f"CAST(list_sum(list_transform(list_zip({a}, {b}),"
+            f" t -> t[1] * t[2])) AS DOUBLE)")
+
+
+def _fp_assign_cte(name: str, cents: str) -> str:
+    """One fixed-point Lloyd assignment pass (argmax cosine against the
+    integer centroids; |row| cancels; ties to the LARGER centroid_id,
+    matching Spark's max(struct(sim, id)))."""
+    return f"""
+    {name} AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT c.vec_id, k.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+                 {_idot('c.qi', 'k.ci')}
+                   / sqrt({_idot('k.ci', 'k.ci')}) DESC,
+                 k.centroid_id DESC) AS rn
+        FROM corpus c CROSS JOIN {cents} k) t
+      WHERE rn = 1
+    )"""
+
+
+def _fp_resum_cte(name: str, assign: str) -> str:
+    """Recompute centroids as exact per-dimension BIGINT sums of the
+    members' quantized vectors (order-independent; cosine is
+    scale-invariant so sums rank identically to means)."""
+    return f"""
+    {name} AS (
+      SELECT centroid_id, list(s ORDER BY pos) AS ci FROM (
+        SELECT a.centroid_id, u.pos, CAST(SUM(u.val) AS BIGINT) AS s
+        FROM (SELECT vec_id, unnest(qi) AS val,
+                     generate_subscripts(qi, 1) AS pos FROM corpus) u
+        JOIN {assign} a USING (vec_id)
+        GROUP BY a.centroid_id, u.pos) s2
+      GROUP BY centroid_id
+    )"""
+
+
+@query(
+    "q_ann_recall_ivf_trained",
+    # the FIXED-POINT trained index (ivf_topk_batch_fp): every
+    # index-construction quantity is an exact integer, so the 2-pass
+    # Lloyd loop unrolls into CTEs that DuckDB reproduces bit-for-bit
+    # — quantize (floor(x * 1024), power-of-two scale => exact),
+    # md5-sample init, assign/re-sum twice, final assign, top-nprobe
+    # probe (ties ASC), exact float rescore (ROUND 6, ties by id)
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ed,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1024) AS BIGINT)) AS qi
+      FROM embeddings
+    ),
+    corpus AS (SELECT * FROM base WHERE vec_id >= 8),
+    qs AS (SELECT vec_id AS qid, ed AS qd, qi AS qqi
+           FROM base WHERE vec_id < 8),
+    c0 AS (
+      SELECT vec_id AS centroid_id, qi AS ci FROM corpus
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    {_fp_assign_cte('a1', 'c0')},
+    {_fp_resum_cte('c1', 'a1')},
+    {_fp_assign_cte('a2', 'c1')},
+    {_fp_resum_cte('c2', 'a2')},
+    {_fp_assign_cte('a3', 'c2')},
+    probe AS (
+      SELECT qid, qd, centroid_id FROM (
+        SELECT q.qid, q.qd, k.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 {_idot('q.qqi', 'k.ci')}
+                   / sqrt({_idot('k.ci', 'k.ci')}) DESC,
+                 k.centroid_id) AS rn
+        FROM qs q CROSS JOIN c2 k) t
+      WHERE rn <= 6
+    ),
+    approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, a.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY p.qid ORDER BY
+                 ROUND(list_dot_product(co.ed, p.qd)
+                   / (sqrt(list_dot_product(co.ed, co.ed))
+                      * sqrt(list_dot_product(p.qd, p.qd))), 6) DESC,
+                 a.vec_id) AS rn
+        FROM probe p
+        JOIN a3 a USING (centroid_id)
+        JOIN corpus co ON co.vec_id = a.vec_id) t
+      WHERE rn <= 10
+    ),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 ROUND(list_dot_product(c.ed, q.qd)
+                   / (sqrt(list_dot_product(c.ed, c.ed))
+                      * sqrt(list_dot_product(q.qd, q.qd))), 6) DESC,
+                 c.vec_id) AS rn
+        FROM corpus c CROSS JOIN qs q) t
+      WHERE rn <= 10
+    ),
+    per_q AS (
+      SELECT e.qid, COUNT(*) AS n_exact, COUNT(a.vec_id) AS n_hits
+      FROM exact e LEFT JOIN approx a
+        ON a.qid = e.qid AND a.vec_id = e.vec_id
+      GROUP BY e.qid
+    )
+    SELECT COUNT(*) AS n_queries,
+           ROUND(AVG(n_hits / n_exact), 6) AS mean_recall
+    FROM per_q
+    """,
+)
 def q_ann_recall_ivf_trained(spark, sf_dir):
-    """Recall@10 of the IVF index with Lloyd-trained centroids
-    (operators/similarity.py:ivf_train_centroids — two spherical
-    k-means passes, each one bounded shuffle) against the exact batch
-    baseline: the cluster-scale quantizer the hash-sample init stands
-    in for."""
+    """Recall@10 of the IVF index with TRAINED centroids against the
+    exact batch baseline. The fixed-point trainer
+    (operators/similarity.py:ivf_topk_batch_fp — two Lloyd passes over
+    an integer-quantized grid, centroids as exact BIGINT sums) makes
+    the trained index a deterministic cross-engine value, turning the
+    last approximate-index rows-only row ORACLE-BEARING (VERDICT r7
+    item 8); the float production trainer (ivf_train_centroids, same
+    loop shape, one bounded shuffle per pass) stays plan-identical."""
     from ..operators.similarity import (
-        ann_recall, brute_force_topk_batch, ivf_topk_batch)
+        ann_recall, brute_force_topk_batch, ivf_topk_batch_fp)
 
     e = eng(spark, sf_dir)
     emb = e.table("embeddings")
@@ -456,8 +571,8 @@ def q_ann_recall_ivf_trained(spark, sf_dir):
                        F.col("embedding").alias("qv")))
     corpus = emb.filter(F.col("vec_id") >= 8)
     exact = brute_force_topk_batch(corpus, queries, k=10)
-    approx = ivf_topk_batch(corpus, queries, k=10,
-                            n_centroids=16, nprobe=6, train_iters=2)
+    approx = ivf_topk_batch_fp(corpus, queries, k=10,
+                               n_centroids=16, nprobe=6, iters=2)
     return ann_recall(exact, approx)
 
 

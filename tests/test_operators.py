@@ -509,6 +509,28 @@ def test_ivf_trained_centroids_recall(spark, sf_dir):
     assert trained >= base - 0.05, (trained, base)
 
 
+def test_ivf_fixedpoint_trained_matches_duckdb(spark, sf_dir):
+    """The fixed-point trainer's whole index pipeline (quantize ->
+    md5-sample init -> 2 Lloyd passes on exact integer sums -> assign
+    -> probe -> rescore) must be bit-reproducible in DuckDB — the
+    property that makes q_ann_recall_ivf_trained oracle-bearing."""
+    import duckdb
+
+    from duckdb_robust_predicate_transfer_spark.workload import (ORACLE,
+                                                                  QUERIES)
+
+    got = sorted(tuple(r) for r in
+                 QUERIES["q_ann_recall_ivf_trained"](spark, sf_dir)
+                 .collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS "
+            f"SELECT * FROM '{sf_dir}/embeddings.parquet'")
+    want = sorted(tuple(r) for r in
+                  con.sql(ORACLE["q_ann_recall_ivf_trained"]).fetchall())
+    assert [tuple(map(float, g)) for g in got] \
+        == [tuple(map(float, w)) for w in want], (got, want)
+
+
 def test_ivf_prebuilt_index_matches_inline(spark, sf_dir):
     """ivf_build + ivf_topk_batch(index=...) — the index-once /
     query-many serving shape — must return exactly the inline result
