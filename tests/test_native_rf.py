@@ -123,3 +123,49 @@ def test_composed_arbitration_dup_bail_keeps_suppression(spark):
             assert spark.conf.get(_ENABLED) == "true", attempt
     finally:
         spark.conf.set(_ENABLED, "false")
+
+
+def test_leg_assertion_clears_stale_suppression_stash(spark):
+    """Benchmark-leg integrity (r8): an ENGAGED query under composed
+    mode leaves the suppression stash ('restore true later') on the
+    session; when a later leg asserts injection OFF via set_native_rf,
+    that leg owns the conf — the first un-engaged query afterwards must
+    NOT restore the stale 'true' mid-leg (pre-fix, un-engaged rpt legs
+    timed with native injection live whenever any earlier composed leg
+    had engaged)."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine
+
+    sf = "/root/testdata/sf0.001"
+    # force engagement: no duplication gates, everything transferable
+    cfg = RPTConfig(min_probe_rows=0, all_broadcast_bail_rows=0,
+                    skip_no_exchange_probe=False,
+                    skip_host_prefiltered_semi=False)
+    star_sql = """
+        SELECT COUNT(*) AS n
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F'
+    """
+    bail_sql = """
+        SELECT COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """
+    # composed leg: injection on; the engaged query stashes + suppresses
+    set_native_rf(spark, True)
+    try:
+        e = Engine(spark, sf, cfg)
+        e.sql(star_sql)
+        assert e.last_sql_rewritten, "engagement premise broken"
+        assert spark.conf.get(_ENABLED) == "false"  # suppressed while engaged
+        # rpt leg: the harness asserts injection OFF (owns the conf)
+        set_native_rf(spark, False)
+        # un-engaged query inside the rpt leg: must stay off
+        e2 = Engine(spark, sf, cfg)
+        e2.sql(bail_sql)
+        assert not e2.last_sql_rewritten
+        assert spark.conf.get(_ENABLED) == "false", \
+            "stale stash restored injection into an off-asserted leg"
+    finally:
+        set_native_rf(spark, False)
