@@ -1,25 +1,26 @@
 #!/bin/bash
-# Round-8 certification chain — strictly sequential so every timing run
-# has the machine to itself. Artifacts land in the repo root.
+# Round-8 certification chain (final protocol) — strictly sequential so
+# every timing run has the machine to itself. Re-run after the stash-fix
+# commit f964504 (un-engaged rpt legs previously could time with native
+# injection live). Artifacts land in the repo root.
 set -x
 cd /root/repo
 
-# 1. JOB regime: 25 queries, 5 modes (off/rpt/native/composed/dual),
-#    oracle-checked at full scale, runs=3
+# 1. JOB regime re-run on the fixed harness (fixture cached)
 DRPT_JOB_DIR=/tmp/drpt_job DRPT_JOB_FACT=100000000 \
   python -u tools/job_regime.py --runs 3 --json JOB_REGIME_r08.json \
-  > /tmp/job_r08.log 2>&1
+  > /tmp/job_regime_r08b.log 2>&1
 echo "JOB rc=$?"
 git add JOB_REGIME_r08.json 2>/dev/null && \
-  git commit -q -m "JOB regime r8 artifact: 25 queries, 5 legs, rescued subtree hops" || true
+  git commit -q -m "JOB regime r8 re-run on the stash-fixed harness" || true
 
-rm -rf /tmp/drpt_job_dev   # reclaim disk before the x1000 fixture
-
-# 2. TPC-H x1000 (600M lineitem): full 22, runs=3, in-run oracle,
-#    24g driver so Q21's legs run in the main pipeline (r7 OOM fix)
+# 2. TPC-H x1000: full 22, runs=3, in-run oracle, 24g driver.
+#    Bloom counts reused from the r7 artifact (native-plan evidence is
+#    engine-independent; saves the ~45min composed eager pass)
 DRPT_TPCH_SCALE_DIR=/tmp/drpt_tpch_x1000 DRPT_TPCH_SCALE_REP=1000 \
   DRPT_TPCH_SCALE_SHUFFLE=128 DRPT_TPCH_SCALE_EMULATE_RF=0 \
   DRPT_IO_CODEC=zstd DRPT_DRIVER_MEM=24g \
+  DRPT_TPCH_SCALE_BLOOMS_FROM=TPCH_SCALE_X1000_r07.json \
   python -u tools/tpch_scale.py --runs 3 --json TPCH_SCALE_X1000_r08.json \
   > /tmp/tpch_x1000_r08.log 2>&1
 echo "X1000 rc=$?"
@@ -27,7 +28,7 @@ cp /tmp/tpch_scale_oracle_x1000_*.log ORACLE_X1000_r08.log 2>/dev/null || true
 git add TPCH_SCALE_X1000_r08.json ORACLE_X1000_r08.log 2>/dev/null && \
   git commit -q -m "TPC-H x1000 r8 artifact: full 22, runs=3, in-run oracle, 24g driver" || true
 
-# 3. gate-2e ablation A/B at the same x1000 fixture
+# 3. gate-2e ablation A/B at the same fixture
 DRPT_TPCH_SCALE_DIR=/tmp/drpt_tpch_x1000 DRPT_TPCH_SCALE_REP=1000 \
   DRPT_TPCH_SCALE_SHUFFLE=128 DRPT_IO_CODEC=zstd DRPT_DRIVER_MEM=24g \
   python -u tools/gate2e_ab.py --runs 2 --json GATE2E_AB_r08.json \
@@ -35,3 +36,13 @@ DRPT_TPCH_SCALE_DIR=/tmp/drpt_tpch_x1000 DRPT_TPCH_SCALE_REP=1000 \
 echo "GATE2E rc=$?"
 git add GATE2E_AB_r08.json 2>/dev/null && \
   git commit -q -m "Gate-2e ablation A/B at x1000" || true
+
+# 4. composed-vs-dual at x1000 (regime-boundary evidence)
+DRPT_TPCH_SCALE_DIR=/tmp/drpt_tpch_x1000 DRPT_TPCH_SCALE_REP=1000 \
+  DRPT_TPCH_SCALE_SHUFFLE=128 DRPT_IO_CODEC=zstd DRPT_DRIVER_MEM=24g \
+  python -u tools/dual_x1000.py --runs 2 --json DUAL_X1000_r08.json \
+  > /tmp/dual_x1000_r08.log 2>&1
+echo "DUAL rc=$?"
+git add DUAL_X1000_r08.json 2>/dev/null && \
+  git commit -q -m "Composed-vs-dual A/B at x1000" || true
+echo "SEQ2 DONE"
