@@ -14,6 +14,9 @@ echo "JOB rc=$?"
 git add JOB_REGIME_r08.json 2>/dev/null && \
   git commit -q -m "JOB regime r8 re-run on the stash-fixed harness" || true
 
+# reclaim the JOB fixture before building the x1000 fixture (80G disk)
+rm -rf /tmp/drpt_job /tmp/drpt_job_dev
+
 # 2. TPC-H x1000: full 22, runs=3, in-run oracle, 24g driver.
 #    Bloom counts reused from the r7 artifact (native-plan evidence is
 #    engine-independent; saves the ~45min composed eager pass)
