@@ -349,6 +349,28 @@ class RPTConfig:
     #: early-suppression fix (Engine.sql) removed its one interaction
     #: loss (Q22: eager build jobs used to run with injection live).
     suppress_native_rf: bool = True
+    #: ...except when the HOST plan's own bloom evidence says native
+    #: carries selectivity the transfer left on the table: per-query
+    #: dual. Spark only ever builds a native bloom from a bare
+    #: selective-filter-over-scan (InjectRuntimeFilter's
+    #: extractSelectiveFilterOverScan), so every injected bloom is a
+    #: (probe_table, probe_col, build_table) edge directly comparable
+    #: to a transfer op's edge. When the REWRITTEN plan (replanned by
+    #: InjectRuntimeFilter against the reduced sizes) carries >=1 bloom
+    #: on an edge NO applied op covers — typically a hop the gates
+    #: refused because the exact-key build would shuffle a 100M-key
+    #: intermediate the reference reduces for free in shared memory
+    #: (rpt_optimizer.cpp:884-937) — the engine restores injection for
+    #: the final run: planning's eager jobs still run suppressed; only
+    #: the result plan gets the blooms. Measured at the 100M JOB
+    #: fixture: jq2's rewritten plan blooms keyword->movie_keyword (the
+    #: refused hop; dual leg 6.25->2.37 s), jq3/jq5/jq10 bloom
+    #: person->castinfo (20.5->10.0, 12.8->4.2, 11.2->4.8); while
+    #: fully-covered bloom sets (jq1's star — native's blooms duplicate
+    #: the transfer's own semis, dual 2.20 vs composed 1.54; jq13/jq18
+    #: likewise) keep suppression. Plan-shape evidence only, never
+    #: timing.
+    compose_subtree_rf: bool = True
     #: persist reduced tables that both feed a key-set and the final join
     persist_reduced: bool = True
     #: ...but only when the reduced build side is big enough that

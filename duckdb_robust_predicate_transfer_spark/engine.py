@@ -87,6 +87,11 @@ _BAIL_CACHE: dict = {}
 #: because it costs a physical planning pass per statement
 _PREFILTER_CACHE: dict = {}
 
+#: (statement cache key, rf-threshold confs) -> bool: whether the
+#: un-rewritten plan carries a subtree-built native bloom (the
+#: compose_subtree_rf arbitration evidence) — one planning pass each
+_DUAL_RF_CACHE: dict = {}
+
 
 def normalize_edges(edges: list) -> list:
     out = []
@@ -156,6 +161,11 @@ class Engine:
         #: would be — keep injection suppressed for it (JOB jq1: native
         #: 1.65 s vs off 0.95 s on exactly this shape, JOB_REGIME_r07).
         self._keep_rf_suppressed = False
+        #: set inside _auto_transfer_sql's shadow window when the
+        #: rewritten plan carries an uncovered native bloom edge
+        #: (compose_subtree_rf): sql() then restores injection for the
+        #: final run — per-query dual
+        self._dual_rf = False
         if not auto_rpt or not cfg.enabled or self.catalog is None:
             return df
         if cfg.suppress_native_rf:
@@ -181,7 +191,94 @@ class Engine:
         if (cfg.suppress_native_rf and out is None
                 and not self._keep_rf_suppressed):
             self._sync_native_rf(engaged=False)
+        elif out is not None and getattr(self, "_dual_rf", False):
+            # per-query dual: the REWRITTEN plan would carry >=1 native
+            # bloom on an edge the transfer's applied ops do NOT cover —
+            # selectivity the rewrite leaves on the table
+            # (cfg.compose_subtree_rf docstring). Restore injection for
+            # the final run; the transfer's eager planning jobs above
+            # already ran suppressed, so the Q22-class interaction loss
+            # the early suppression was built for cannot recur.
+            self._sync_native_rf(engaged=False)
         return out if out is not None else df
+
+    def _uncovered_rf_evidence(self, query: str, cfg: RPTConfig) -> bool:
+        """True when the REWRITTEN plan (views currently shadowed by
+        their reduced DataFrames — call only from _auto_transfer_sql's
+        shadow window) would carry at least one native bloom on a
+        (probe_table, probe_col, build_table) edge no applied op covers.
+
+        Why the rewritten plan, not the original: InjectRuntimeFilter
+        re-evaluates against the reduced sizes and fires on exactly the
+        arms the transfer could not serve (measured at the 100M JOB
+        fixture: jq2's rewritten plan blooms keyword->movie_keyword —
+        the hop whose exact-key build the gates refused — while its
+        un-rewritten plan only blooms the company edge the ops already
+        cover). Planning is a fresh spark.sql against the shadows, so
+        the RETURNED DataFrame's QueryExecution is never optimized
+        under the temporarily-enabled conf — a bloom-laden cached plan
+        executing under nominal suppression would silently defeat the
+        arbitration.
+
+        Costs one planning pass (~0.2-0.5 s), cached per
+        statement+data+config like the gate-2e prefilter evidence.
+        Only meaningful when the session had injection on (a stash
+        exists) — otherwise there is nothing to restore. Unresolvable
+        bloom edges count as covered: suppression is the certified
+        default and flipping to dual needs positive evidence."""
+        if getattr(self.spark, "_drpt_rf_stash", None) != "true":
+            return False
+        from .plans.catalyst_order import native_bloom_edges
+
+        rf_confs = []
+        for k in ("spark.sql.optimizer.runtime.bloomFilter."
+                  "applicationSideScanSizeThreshold",
+                  "spark.sql.optimizer.runtime.bloomFilter."
+                  "creationSideThreshold",
+                  "spark.sql.autoBroadcastJoinThreshold"):
+            try:
+                rf_confs.append(self.spark.conf.get(k))
+            except Exception:
+                rf_confs.append("")
+        ek = (getattr(self, "_stmt_ck", None) or query,
+              tuple(rf_confs), repr(cfg))
+        if ek in _DUAL_RF_CACHE:
+            return _DUAL_RF_CACHE[ek]
+        key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        dual = False
+        try:
+            self.spark.conf.set(key, "true")
+            table_paths = {t: self.catalog.path(t)
+                           for t in self.catalog.known_tables()}
+            blooms = native_bloom_edges(self.spark.sql(query),
+                                        table_paths)
+            covered = set()
+            alias_t = getattr(self, "_last_alias_tables", {})
+            if self.last_result is not None:
+                for op in self.last_result.applied:
+                    pt = alias_t.get(op.probe, op.probe)
+                    bt = alias_t.get(op.build, op.build)
+                    for pc in op.probe_cols:
+                        covered.add((pt, pc, bt))
+            for b in blooms or ():
+                if None in (b["probe_table"], b["probe_col"],
+                            b["build_table"]):
+                    continue
+                if (b["probe_table"], b["probe_col"],
+                        b["build_table"]) not in covered:
+                    dual = True
+                    break
+        except Exception:
+            dual = False
+        finally:
+            try:
+                self.spark.conf.set(key, "false")
+            except Exception:
+                pass
+        if len(_DUAL_RF_CACHE) >= 256:
+            _DUAL_RF_CACHE.pop(next(iter(_DUAL_RF_CACHE)))
+        _DUAL_RF_CACHE[ek] = dual
+        return dual
 
     def _sync_native_rf(self, engaged: bool) -> None:
         """One mechanism per edge (config.suppress_native_rf): disable
@@ -244,6 +341,11 @@ class Engine:
                     _path_stamp(self.catalog.path(t)))
                    for t in sorted(known))
         ck = (query, fp)
+        #: read by _subtree_rf_evidence after this returns engaged —
+        #: the dual-arbitration cache keys on the same statement+data
+        #: fingerprint so a re-registered fixture cannot replay stale
+        #: bloom evidence
+        self._stmt_ck = ck
         if ck in _EXT_CACHE:
             ext = _EXT_CACHE[ck]
         else:
@@ -254,6 +356,10 @@ class Engine:
                 _EXT_CACHE[ck] = ext
         if ext is None or ext is TRANSIENT_BAIL:
             return None
+        #: alias -> base table name, read by _uncovered_rf_evidence to
+        #: compare native bloom edges with the applied ops' edges
+        self._last_alias_tables = {a: i.table
+                                   for a, i in ext.instances.items()}
         # gate-bail cache: when this exact statement on this exact data
         # already went through reduce() under this config and EVERY op
         # was gated away, re-running the whole planning path (catalog
@@ -476,6 +582,10 @@ class Engine:
                     _BAIL_CACHE.pop(next(iter(_BAIL_CACHE)))
                 _BAIL_CACHE[bk] = "dup" if dup_bail else True
                 return None
+            if cfg.suppress_native_rf and cfg.compose_subtree_rf:
+                # must run inside the shadow window: the evidence is
+                # the REWRITTEN plan's bloom edges (see the docstring)
+                self._dual_rf = self._uncovered_rf_evidence(query, cfg)
             return self.spark.sql(query)
         finally:
             self.catalog.register_views()

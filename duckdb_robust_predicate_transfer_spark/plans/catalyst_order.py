@@ -207,6 +207,99 @@ def scan_prefilter_pairs(joined: DataFrame, alias_paths: dict
         return None
 
 
+import re
+
+#: probe column of a native bloom probe:  might_contain(..., xxhash64(col#id
+_PROBE_COL = re.compile(r"might_contain\(.*?xxhash64\((\w+)#\d+")
+#: creation column of a bloom build:  bloom_filter_agg(xxhash64(col#id
+_CREATE_COL = re.compile(r"bloom_filter_agg\(xxhash64\((\w+)#\d+")
+
+
+def _logical_leaf_paths(node) -> "list | None":
+    """rootPaths of a LOGICAL leaf relation (LogicalRelation over
+    HadoopFsRelation), or None. The physical `_leaf_paths` twin reads
+    FileSourceScanExec; optimized logical leaves expose the same
+    location through relation().location()."""
+    try:
+        rp = node.relation().location().rootPaths()
+        return [_norm_path(rp.apply(i).toString())
+                for i in range(rp.size())]
+    except Exception:
+        return None
+
+
+def native_bloom_edges(fresh: DataFrame, table_paths: dict
+                       ) -> "list | None":
+    """Edges of the native runtime blooms Spark's InjectRuntimeFilter
+    planted in ``fresh``'s optimized logical plan — pure planning, no
+    jobs (bloom subqueries only run at an action).
+
+    ``fresh`` must be a FRESHLY constructed DataFrame analyzed while
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` is true:
+    QueryExecution caches the optimized plan on first access, so a
+    DataFrame planned under suppression reports zero blooms forever.
+
+    Spark only ever builds a native bloom from a bare
+    selective-filter-over-scan (InjectRuntimeFilter's
+    extractSelectiveFilterOverScan; verified empirically on the JOB
+    fixture), so every bloom is a (probe_table, probe_col, build_table)
+    edge directly comparable to a transfer op's edge. ``table_paths``
+    maps table name -> parquet path for leaf resolution; unresolvable
+    sides come back as None in the tuple. Returns None on traversal
+    failure.
+    """
+    try:
+        path_to_table = {_norm_path(p): t for t, p in table_paths.items()}
+
+        def leaf_tables(node) -> set:
+            out: set = set()
+            stack = [node]
+            while stack:
+                n = stack.pop()
+                kids = _jseq(n.children())
+                if kids:
+                    stack.extend(kids)
+                    continue
+                roots = _logical_leaf_paths(n)
+                for r in roots or ():
+                    if r in path_to_table:
+                        out.add(path_to_table[r])
+            return out
+
+        edges: list = []
+        stack = [fresh._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            stack.extend(_jseq(node.children()))
+            if node.getClass().getSimpleName() != "Filter":
+                continue
+            cond = node.condition().toString()
+            if "might_contain" not in cond:
+                continue
+            probes = leaf_tables(node)
+            probe_t = probes.pop() if len(probes) == 1 else None
+            probe_cols = [m.group(1) for m in _PROBE_COL.finditer(cond)]
+            # creation sides live in this Filter's subquery plans, in
+            # the same expression order as the might_contain conjuncts
+            builds = []
+            for sub in _jseq(node.subqueries()):
+                head = sub.toString().split("\n", 1)[0]
+                cm = _CREATE_COL.search(head)
+                if cm is None:
+                    continue
+                bt = leaf_tables(sub)
+                builds.append((bt.pop() if len(bt) == 1 else None,
+                               cm.group(1)))
+            while len(builds) < len(probe_cols):
+                builds.append((None, None))
+            for pc, (bt, bc) in zip(probe_cols, builds):
+                edges.append({"probe_table": probe_t, "probe_col": pc,
+                              "build_table": bt, "build_col": bc})
+        return edges
+    except Exception:
+        return None
+
+
 def physical_alias_order(joined: DataFrame, alias_dfs: dict) -> "list | None":
     """Aliases in physical execution order, or None if unresolvable.
 

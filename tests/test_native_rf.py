@@ -169,3 +169,87 @@ def test_leg_assertion_clears_stale_suppression_stash(spark):
             "stale stash restored injection into an off-asserted leg"
     finally:
         set_native_rf(spark, False)
+
+def test_native_bloom_edges_extraction(spark):
+    """Pin native_bloom_edges against Spark renames: an injected bloom
+    on the lineitem |><| filtered-orders shuffle join must come back as
+    the (orders -> lineitem, l_orderkey) edge with both sides resolved
+    structurally from the scan rootPaths."""
+    from duckdb_robust_predicate_transfer_spark.plans.catalyst_order import (
+        native_bloom_edges)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(_ENABLED, "true")
+    spark.conf.set(_APP, "1")
+    spark.conf.set(_CREATE, "8GB")
+    try:
+        edges = native_bloom_edges(
+            _shuffle_join(spark),
+            {"lineitem": f"{SF}/lineitem.parquet",
+             "orders": f"{SF}/orders.parquet"})
+        assert edges, "no bloom extracted where one must inject"
+        assert {"probe_table": "lineitem", "probe_col": "l_orderkey",
+                "build_table": "orders", "build_col": "o_orderkey"
+                } in edges
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(_ENABLED, "false")
+        spark.conf.unset(_APP)
+        spark.conf.unset(_CREATE)
+
+
+def test_composed_dual_arbitration_by_bloom_coverage(spark):
+    """compose_subtree_rf: an ENGAGED query keeps injection suppressed
+    when every native bloom's edge is covered by an applied op (single
+    mechanism per edge), but restores injection for the final run when
+    the host would plant a bloom on an edge the transfer left on the
+    table (per-query dual — JOB_REGIME_r08: jq2 6.25->2.37 s)."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine
+
+    sf = "/root/testdata/sf0.001"
+    chain_sql = """
+        SELECT COUNT(*) AS n
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderpriority = '1-URGENT' AND c_mktsegment = 'BUILDING'
+    """
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(_ENABLED, "true")
+    spark.conf.set(_APP, "1")
+    spark.conf.set(_CREATE, "8GB")
+    base = dict(all_broadcast_bail_rows=0, skip_no_exchange_probe=False,
+                skip_host_prefiltered_semi=False,
+                require_selective_build=False)
+    try:
+        # covered: ops land on BOTH filtered edges -> blooms are pure
+        # duplication -> suppression holds through the final run
+        e = Engine(spark, sf, RPTConfig(min_probe_rows=0, **base))
+        e.sql(chain_sql)
+        assert e.last_sql_rewritten
+        ops = {(o.build, o.probe) for o in e.last_result.applied}
+        assert ("customer", "orders") in ops, ops
+        assert spark.conf.get(_ENABLED) == "false"
+        spark.conf.set(_ENABLED, "true")  # next leg re-asserts
+
+        # uncovered: broadcast_key_rows=0 makes every build shuffle-tier
+        # so min_probe_rows bites; the op INTO orders (filtered to ~300
+        # rows, under 2000) is dropped while orders->lineitem (6k) stays
+        # -> the customer->orders bloom is selectivity the transfer left
+        # on the table -> injection restored for the final run
+        e2 = Engine(spark, sf, RPTConfig(min_probe_rows=2000,
+                                         broadcast_key_rows=0, **base))
+        e2.sql(chain_sql)
+        assert e2.last_sql_rewritten
+        ops2 = {(o.build, o.probe) for o in e2.last_result.applied}
+        assert ("customer", "orders") not in ops2, ops2
+        assert spark.conf.get(_ENABLED) == "true", \
+            "uncovered native bloom must flip the engaged query to dual"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(_ENABLED, "false")
+        spark.conf.unset(_APP)
+        spark.conf.unset(_CREATE)
