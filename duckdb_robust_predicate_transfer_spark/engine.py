@@ -87,9 +87,10 @@ _BAIL_CACHE: dict = {}
 #: because it costs a physical planning pass per statement
 _PREFILTER_CACHE: dict = {}
 
-#: (statement cache key, rf-threshold confs) -> bool: whether the
-#: un-rewritten plan carries a subtree-built native bloom (the
-#: compose_subtree_rf arbitration evidence) — one planning pass each
+#: (statement cache key, rf-threshold confs, config) -> bool: whether
+#: the REWRITTEN plan carries a native bloom on an edge no applied op
+#: covers (the compose_subtree_rf arbitration evidence) — one planning
+#: pass each
 _DUAL_RF_CACHE: dict = {}
 
 
@@ -341,10 +342,9 @@ class Engine:
                     _path_stamp(self.catalog.path(t)))
                    for t in sorted(known))
         ck = (query, fp)
-        #: read by _subtree_rf_evidence after this returns engaged —
-        #: the dual-arbitration cache keys on the same statement+data
-        #: fingerprint so a re-registered fixture cannot replay stale
-        #: bloom evidence
+        #: read by _uncovered_rf_evidence — the dual-arbitration cache
+        #: keys on the same statement+data fingerprint so a
+        #: re-registered fixture cannot replay stale bloom evidence
         self._stmt_ck = ck
         if ck in _EXT_CACHE:
             ext = _EXT_CACHE[ck]

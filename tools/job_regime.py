@@ -499,6 +499,12 @@ def main() -> int:
         wc.set_default_config(None)
         set_native_rf(spark, mode in ("native", "composed", "dual"))
 
+    #: per-query composed verdict: True = the engaged query's rewritten
+    #: plan carried an uncovered native bloom edge, so the engine
+    #: restored injection for the final run (per-query dual,
+    #: config.compose_subtree_rf)
+    composed_dual: dict = {}
+
     def leg(name: str, mode: str) -> float:
         if mode in ("rpt", "composed"):
             cfg = RPTConfig()
@@ -509,8 +515,10 @@ def main() -> int:
         set_mode(mode)
         try:
             t = time.time()
-            Engine(spark, OUT_DIR, cfg).sql(QUERIES[name],
-                                            auto_rpt=cfg.enabled).collect()
+            e = Engine(spark, OUT_DIR, cfg)
+            e.sql(QUERIES[name], auto_rpt=cfg.enabled).collect()
+            if mode == "composed":
+                composed_dual[name] = bool(getattr(e, "_dual_rf", False))
             return time.time() - t
         finally:
             set_native_rf(spark, False)
@@ -558,6 +566,7 @@ def main() -> int:
         "rpt_engaged": engaged,
         "rpt_ops": ops_inv,
         "composed_arbitration_suppressed": arb_suppressed,
+        "composed_dual_rf": composed_dual,
         "native_blooms_injected": blooms,
         "geomean_sec": {m: geo(m) for m in MODES},
         "rpt_vs_off_geomean": _ratio(geo("off"), geo("rpt")),
