@@ -96,7 +96,11 @@ class RPTConfig:
     #: exact join, so results are identical. 0 disables (exact semis
     #: everywhere, the pre-r8 behavior). DSv2 probes keep the exact
     #: key set (it feeds in-scan row-group pruning + the adaptive row
-    #: filter, strictly better than any row predicate).
+    #: filter, strictly better than any row predicate). STRING/BINARY
+    #: probe keys only: integer keys probe a broadcast hash relation as
+    #: cheaply as a bit-test and the lazy semi keeps AQE replanning —
+    #: the unconditioned escalation reproduced the r5/r6 sketch A/Bs'
+    #: Q7 loss at x1000 (6.3->19.0 s; in-round r8 regression, fixed).
     bloom_probe_min_rows: int = 8_000_000
     #: skip transfer from build sides estimated larger than this unless they
     #: carry a filter (bounded-downside gate; the Robust paper's point)
@@ -208,6 +212,15 @@ class RPTConfig:
     #:   movie_company 25M; transitive value counts because the reduced
     #:   probe feeds later broadcast-tier hops).
     #: - observed cardinality must stay within sketch_max_keys.
+    #: - the PROBE keys must be string/binary-typed: the rescue's repay
+    #:   is the probe join's per-row cost (string hashing + equality on
+    #:   every surviving row), which the pre-exchange cut removes;
+    #:   integer-key joins are too cheap per row to repay an eager
+    #:   bloom over a 100M+-row build lineage. Measured in-round at
+    #:   x1000: the unconditioned rescue planted orders->lineitem on
+    #:   Q3/Q10 and lineitem->orders on Q7 (15-31 s eager builds,
+    #:   Q7 2.8x -> 0.89x); every JOB rescue win (jq10/jq11/jq13/jq15)
+    #:   is string-key.
     sketch_rescue: bool = True
     #: minimum ratio of max-downstream-probe footer rows to the rescued
     #: build's base footer rows (see sketch_rescue). The rescue costs

@@ -263,6 +263,25 @@ def _downstream_weight(alias: str, plan_ops, rows: dict) -> float:
     return best
 
 
+def _string_keys(df: DataFrame, cols) -> bool:
+    """True when ANY of ``cols`` is string/binary-typed in ``df``.
+
+    The bitmap probe tier's measured 4-5x per-row advantage over a
+    broadcast-hash semi exists where the hash relation pays per-row
+    string hashing + equality; integer keys probe a hash relation as
+    cheaply as a bloom's bit-test, and the lazy semi additionally keeps
+    AQE's integrated replanning (the r5/r6 sketch A/Bs' Q7 lesson).
+    Unknown schemas return False: the exact tier is the certified
+    default and escalation needs positive evidence."""
+    try:
+        types = {f.name.lower(): f.dataType.typeName()
+                 for f in df.schema.fields}
+        return any(types.get(str(c).lower()) in ("string", "binary")
+                   for c in cols)
+    except Exception:
+        return False
+
+
 def _sketch_tier(cfg, est: float) -> bool:
     """Does this build ship as a Bloom bitmap instead of exact keys?
 
@@ -501,6 +520,18 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 build_base = (rows_base or {}).get(op.build, 0.0) or est
                 ok = (cfg.sketch_rescue
                       and est <= cfg.sketch_max_keys
+                      # string/binary probe keys only — the rescue's
+                      # repay is the probe join's PER-ROW cost (string
+                      # hashing + equality on every surviving row),
+                      # which the pre-exchange cut removes; integer-key
+                      # joins are too cheap per row to repay an eager
+                      # bloom over a 100M+-row build lineage (measured
+                      # in-round at x1000: the unconditioned rescue
+                      # planted orders->lineitem on Q3/Q10 and
+                      # lineitem->orders on Q7, turning Q7's 2.8x win
+                      # into 0.89x via 15-31 s eager builds; the JOB
+                      # wins jq10/jq11/jq13 are all string-key)
+                      and _string_keys(probe, op.probe_cols)
                       # gate 3's observation-independent backward check,
                       # hoisted so a doomed hop never pays the count
                       and (op.phase == "forward"
@@ -592,10 +623,20 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         #: probe-side tier choice (config.bloom_probe_min_rows): on a
         #: huge probe the per-row filter cost IS the op, and the
         #: bitmap's bit-tests are 4-5x cheaper than a broadcast-hash
-        #: semi's hash lookups (measured, 50M-row string-key fact)
+        #: semi's hash lookups — but ONLY for string/binary keys, where
+        #: the hash relation pays per-row string hashing + equality
+        #: (measured, 50M-row string-key fact). On integer keys the
+        #: broadcast-hash semi's lookup is as cheap as the bit-test AND
+        #: stays lazy inside AQE's replanning, which the eager bitmap
+        #: build forfeits — the r5/r6 clean-room sketch A/Bs measured
+        #: exactly that as Q7's win turning into a loss (SKETCH_AB_r05,
+        #: SKETCH_REGIME_r06), and the unconditioned escalation
+        #: reproduced it at x1000 (Q7 6.3->19.0 s, Q3/Q10 engaging ops
+        #: gate 2c used to drop — the r8 in-round regression).
         probe_big = (cfg.bloom_probe_min_rows > 0
                      and rows_est.get(op.probe, 0.0)
-                     >= cfg.bloom_probe_min_rows)
+                     >= cfg.bloom_probe_min_rows
+                     and _string_keys(probe, op.probe_cols))
         suppress_bf = False
         dup_evidence = False  # suppression specifically by gates 2d/2e
         if (cfg.bf_benefit_probe_ratio > 0 and cfg.filter_type != "minmax_only"

@@ -235,17 +235,24 @@ def test_composed_dual_arbitration_by_bloom_coverage(spark):
         assert spark.conf.get(_ENABLED) == "false"
         spark.conf.set(_ENABLED, "true")  # next leg re-asserts
 
-        # uncovered: broadcast_key_rows=0 makes every build shuffle-tier
-        # so min_probe_rows bites; the op INTO orders (filtered to ~300
-        # rows, under 2000) is dropped while orders->lineitem (6k) stays
-        # -> the customer->orders bloom is selectivity the transfer left
+        # uncovered: gate 2c (bf_benefit_probe_ratio) suppresses the
+        # orders->lineitem key set (orders' ~700 filtered keys sit above
+        # bf_cheap_keys=100, probe under ratio x pre, probe too small
+        # for both the bitmap escalation and the minmax tier) while
+        # customer->orders keeps its op (~30 keys = cheap-exempt) ->
+        # the orders->lineitem bloom is selectivity the transfer left
         # on the table -> injection restored for the final run
-        e2 = Engine(spark, sf, RPTConfig(min_probe_rows=2000,
-                                         broadcast_key_rows=0, **base))
+        # (host_broadcast_rows=0: a broadcast-hinted reduced orders
+        # would make the final join a BHJ, where InjectRuntimeFilter
+        # correctly injects nothing and suppression correctly holds)
+        unc = dict(base, bf_cheap_keys=100, bf_benefit_probe_ratio=100,
+                   host_broadcast_rows=0)
+        e2 = Engine(spark, sf, RPTConfig(min_probe_rows=0, **unc))
         e2.sql(chain_sql)
         assert e2.last_sql_rewritten
         ops2 = {(o.build, o.probe) for o in e2.last_result.applied}
-        assert ("customer", "orders") not in ops2, ops2
+        assert ("orders", "lineitem") not in ops2, ops2
+        assert ("customer", "orders") in ops2, ops2
         assert spark.conf.get(_ENABLED) == "true", \
             "uncovered native bloom must flip the engaged query to dual"
     finally:

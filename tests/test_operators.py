@@ -581,3 +581,22 @@ def test_connected_components_pointer_jump_long_chain(spark):
     # sanity: without the jump the same budget cannot converge
     plain = connected_components(pairs, max_iters=10, pointer_jump=False)
     assert {r.label for r in plain.collect()} != {0}
+
+
+def test_bitmap_escalation_requires_string_keys(spark):
+    """The probe-big bitmap escalation (bloom_probe_min_rows) only fires
+    on string/binary probe keys: integer keys probe a broadcast hash
+    relation as cheaply as a bit-test and the lazy semi keeps AQE
+    replanning — the unconditioned escalation reproduced the r5/r6
+    sketch A/Bs' Q7 loss at x1000 (6.3 -> 19.0 s)."""
+    from duckdb_robust_predicate_transfer_spark.operators.rewrite import (
+        _string_keys)
+
+    df = spark.createDataFrame(
+        [(1, "a", b"x", 1.5)], "ik int, sk string, bk binary, fk double")
+    assert _string_keys(df, ["sk"])
+    assert _string_keys(df, ["bk"])
+    assert _string_keys(df, ["ik", "sk"])   # any string key qualifies
+    assert not _string_keys(df, ["ik"])
+    assert not _string_keys(df, ["fk", "ik"])
+    assert not _string_keys(df, ["missing"])  # unknown -> exact tier
