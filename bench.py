@@ -57,6 +57,14 @@ def main():
     spark = get_spark(app_name="drpt-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # fail fast (not mid-run, as in the invalidated BENCH_r08) if the
+    # pinned shuffle scratch dir ever disappears under the session
+    local_dir = spark.conf.get("spark.local.dir",
+                               "/tmp/drpt-spark-local")
+    assert os.path.isdir(local_dir.split(",")[0]), (
+        f"spark.local.dir {local_dir} vanished — shuffle files would "
+        "be unreadable mid-run")
+
     # one untimed warmup: session/codegen/broadcast-machinery spin-up
     # must not be attributed to whichever query happens to run first
     try:

@@ -140,6 +140,25 @@ class RPTConfig:
     #: later gate the way the reference's finalize-time cardinalities do
     #: (table_manager.cpp:64-69). 0 disables.
     observe_est_factor: float = 8.0
+    #: gate 2g — WEAK-BUILD OBSERVATION: a build carrying only a LOCAL
+    #: filter has unproven selectivity — the fixed 0.2 decay guess
+    #: cannot tell co_name LIKE '%Pictures%' (keeps 100% of the JOB
+    #: fixture's companies) from 'Universal %' (1%), and a key set
+    #: spanning its whole domain removes nothing while its eager
+    #: distinct+broadcast build is a real cost (JOB_REGIME_r08: jq17's
+    #: 500k-key all-pass company op lost 27% end-to-end; jq23's
+    #: 70%-keep country IN-list op was half of a 0.68x). When the
+    #: build's BASE footer rows are at or below this bound (dim-sized,
+    #: so the count is one cheap scan+filter job), observe the filtered
+    #: cardinality up front and drop the op when it keeps >=
+    #: max_build_keep_frac of its base — extending gate 2b's
+    #: shuffle-tier keep-frac rule to every tier, on an OBSERVED number
+    #: the way the reference prices from finalize-time cardinalities
+    #: (table_manager.cpp:64-69). Genuinely selective dims pass and
+    #: their exact counts feed every later gate (better tiering for
+    #: free); big builds (> bound) are excluded so TPC-H's 15M+-row
+    #: filtered customer/orders never pay an extra scan. 0 disables.
+    weak_observe_max_base: int = 4_000_000
     #: a broadcast-tier exact-key build BELOW this many (pre-decay
     #: estimated) keys is "cheap": its driver hash relation builds in
     #: tens of ms and the op is near-free, so no benefit test applies.

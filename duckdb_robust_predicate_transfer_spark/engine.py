@@ -248,11 +248,16 @@ class Engine:
         key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
         dual = False
         try:
+            prior = self.spark.conf.get(key, "false")
+        except Exception:
+            prior = "false"
+        try:
             self.spark.conf.set(key, "true")
             table_paths = {t: self.catalog.path(t)
                            for t in self.catalog.known_tables()}
             blooms = native_bloom_edges(self.spark.sql(query),
-                                        table_paths)
+                                        table_paths,
+                                        self._table_cols())
             covered = set()
             alias_t = getattr(self, "_last_alias_tables", {})
             if self.last_result is not None:
@@ -260,26 +265,47 @@ class Engine:
                     pt = alias_t.get(op.probe, op.probe)
                     bt = alias_t.get(op.build, op.build)
                     for pc in op.probe_cols:
-                        covered.add((pt, pc, bt))
+                        # case-insensitive like _string_keys: a
+                        # mixed-case identifier must not fabricate an
+                        # "uncovered" verdict (ADVICE r8)
+                        covered.add((str(pt).lower(), pc.lower(),
+                                     str(bt).lower()))
             for b in blooms or ():
                 if None in (b["probe_table"], b["probe_col"],
                             b["build_table"]):
                     continue
-                if (b["probe_table"], b["probe_col"],
-                        b["build_table"]) not in covered:
+                if (b["probe_table"].lower(), b["probe_col"].lower(),
+                        b["build_table"].lower()) not in covered:
                     dual = True
                     break
         except Exception:
             dual = False
         finally:
             try:
-                self.spark.conf.set(key, "false")
+                # restore the observed pre-call value, not a literal:
+                # the stash-exists precondition makes "false" safe
+                # TODAY, but a future call site outside the shadow
+                # window would clobber a user-enabled conf (ADVICE r8)
+                self.spark.conf.set(key, prior)
             except Exception:
                 pass
         if len(_DUAL_RF_CACHE) >= 256:
             _DUAL_RF_CACHE.pop(next(iter(_DUAL_RF_CACHE)))
         _DUAL_RF_CACHE[ek] = dual
         return dual
+
+    def _table_cols(self) -> dict:
+        """table -> lowercase column-name set for every known table,
+        used by native_bloom_edges to resolve a bloom side whose
+        lineage spans several leaves (a shadowed reduced view). Cached
+        on the Catalog — schema reads are parquet-footer-only, but the
+        arbitration runs once per novel statement."""
+        cache = getattr(self.catalog, "_drpt_table_cols", None)
+        if cache is None:
+            cache = {t: {c.lower() for c in self.catalog.table(t).columns}
+                     for t in self.catalog.known_tables()}
+            self.catalog._drpt_table_cols = cache
+        return cache
 
     def _sync_native_rf(self, engaged: bool) -> None:
         """One mechanism per edge (config.suppress_native_rf): disable

@@ -447,6 +447,31 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                      or est > cfg.max_unfiltered_build_rows)):
             _drop("gate1")
             continue
+        # 2g. weak-build observation (config.weak_observe_max_base):
+        #     a local filter's true selectivity is unproven — LIKE
+        #     '%Pictures%' keeps 100% where the decay guess says 20% —
+        #     so for dim-sized bases pay one scan+filter count and
+        #     apply gate 2b's keep-frac rule to EVERY tier: a build
+        #     still holding most of its domain removes almost nothing
+        #     while its eager key-set jobs are real (JOB jq17/jq23).
+        #     Dropping here (not "dup") leaves native runtime blooms
+        #     welcome on the edge: the composed arbitration hands weak
+        #     arms to the host's lazy AQE-planned blooms.
+        if (cfg.weak_observe_max_base > 0 and rows_base is not None
+                and op.build not in reduced and op.build in filtered
+                and op.build not in observed
+                and 0 < rows_base.get(op.build, 0.0)
+                <= cfg.weak_observe_max_base):
+            observed.add(op.build)
+            est = float(build.count())
+            rows_est[op.build] = est
+            rows_pre[op.build] = est
+        if (op.build in observed and op.build not in reduced
+                and rows_base is not None):
+            bb = rows_base.get(op.build, 0.0)
+            if bb > 0 and est >= cfg.max_build_keep_frac * bb:
+                _drop("gate2g")
+                continue
         # 2. transfer only into probes big enough to repay an exchange —
         #    but ONLY for shuffle-tier builds. A broadcast-tier build
         #    (est <= broadcast_key_rows) costs no exchange at all: the

@@ -209,8 +209,11 @@ def scan_prefilter_pairs(joined: DataFrame, alias_paths: dict
 
 import re
 
-#: probe column of a native bloom probe:  might_contain(..., xxhash64(col#id
-_PROBE_COL = re.compile(r"might_contain\(.*?xxhash64\((\w+)#\d+")
+#: probe key inside ONE might_contain conjunct: xxhash64(col#id — only a
+#: BARE attribute matches; cast-wrapped or computed keys come back None
+#: (parsing is per-conjunct, see native_bloom_edges, so an unparseable
+#: key can never make a later conjunct's key zip against its build)
+_XXHASH_COL = re.compile(r"xxhash64\((\w+)#\d+")
 #: creation column of a bloom build:  bloom_filter_agg(xxhash64(col#id
 _CREATE_COL = re.compile(r"bloom_filter_agg\(xxhash64\((\w+)#\d+")
 
@@ -228,8 +231,8 @@ def _logical_leaf_paths(node) -> "list | None":
         return None
 
 
-def native_bloom_edges(fresh: DataFrame, table_paths: dict
-                       ) -> "list | None":
+def native_bloom_edges(fresh: DataFrame, table_paths: dict,
+                       table_cols: "dict | None" = None) -> "list | None":
     """Edges of the native runtime blooms Spark's InjectRuntimeFilter
     planted in ``fresh``'s optimized logical plan — pure planning, no
     jobs (bloom subqueries only run at an action).
@@ -244,12 +247,31 @@ def native_bloom_edges(fresh: DataFrame, table_paths: dict
     extractSelectiveFilterOverScan; verified empirically on the JOB
     fixture), so every bloom is a (probe_table, probe_col, build_table)
     edge directly comparable to a transfer op's edge. ``table_paths``
-    maps table name -> parquet path for leaf resolution; unresolvable
-    sides come back as None in the tuple. Returns None on traversal
-    failure.
+    maps table name -> parquet path for leaf resolution. When a side's
+    lineage spans several leaves (the creation side is a SHADOWED view
+    — a reduced DataFrame whose semi-join lineage reads two base
+    tables), ``table_cols`` (table -> lowercase column-name set)
+    breaks the tie by unique column ownership: bloom_filter_agg's
+    o_orderkey can only come from orders. Sides still unresolvable
+    come back as None in the tuple. Returns None on traversal failure.
+
+    Probe keys are parsed PER might_contain CONJUNCT (split on the
+    literal, one key slot per conjunct): a cast-wrapped or computed key
+    yields None in ITS slot instead of letting a multi-conjunct regex
+    bridge into the next conjunct and zip a probe col against the
+    wrong build. A Filter whose key-slot count still disagrees with
+    its subquery count emits no edges at all (counts as covered —
+    suppression is the certified default).
     """
     try:
         path_to_table = {_norm_path(p): t for t, p in table_paths.items()}
+        owners: dict = {}
+        if table_cols:
+            for t, cols in table_cols.items():
+                for c in cols:
+                    c = c.lower()
+                    # None marks a column name owned by >1 table
+                    owners[c] = None if c in owners else t
 
         def leaf_tables(node) -> set:
             out: set = set()
@@ -266,6 +288,13 @@ def native_bloom_edges(fresh: DataFrame, table_paths: dict
                         out.add(path_to_table[r])
             return out
 
+        def resolve(tabs: set, col) -> "str | None":
+            if len(tabs) == 1:
+                return next(iter(tabs))
+            t = owners.get(col.lower()) if col else None
+            # ownership must agree with the lineage when we have one
+            return t if t is not None and (not tabs or t in tabs) else None
+
         edges: list = []
         stack = [fresh._jdf.queryExecution().optimizedPlan()]
         while stack:
@@ -277,8 +306,12 @@ def native_bloom_edges(fresh: DataFrame, table_paths: dict
             if "might_contain" not in cond:
                 continue
             probes = leaf_tables(node)
-            probe_t = probes.pop() if len(probes) == 1 else None
-            probe_cols = [m.group(1) for m in _PROBE_COL.finditer(cond)]
+            # one key slot per conjunct: segment i is the text between
+            # the i-th might_contain( and the next (or end of cond)
+            probe_cols = []
+            for seg in cond.split("might_contain(")[1:]:
+                m = _XXHASH_COL.search(seg)
+                probe_cols.append(m.group(1) if m else None)
             # creation sides live in this Filter's subquery plans, in
             # the same expression order as the might_contain conjuncts
             builds = []
@@ -288,12 +321,12 @@ def native_bloom_edges(fresh: DataFrame, table_paths: dict
                 if cm is None:
                     continue
                 bt = leaf_tables(sub)
-                builds.append((bt.pop() if len(bt) == 1 else None,
-                               cm.group(1)))
-            while len(builds) < len(probe_cols):
-                builds.append((None, None))
+                builds.append((resolve(bt, cm.group(1)), cm.group(1)))
+            if len(builds) != len(probe_cols):
+                continue
             for pc, (bt, bc) in zip(probe_cols, builds):
-                edges.append({"probe_table": probe_t, "probe_col": pc,
+                edges.append({"probe_table": resolve(probes, pc),
+                              "probe_col": pc,
                               "build_table": bt, "build_col": bc})
         return edges
     except Exception:

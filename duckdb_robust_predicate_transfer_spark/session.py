@@ -64,5 +64,11 @@ def get_spark(app_name: str = "drpt-spark", master: str | None = None,
         # it must be set at session build
         .config("spark.sql.warehouse.dir",
                 os.environ.get("DRPT_WAREHOUSE_DIR", "/tmp/drpt-warehouse"))
+        # shuffle/block-manager scratch pinned to a dedicated dir that
+        # no fixture-reclaim script touches: BENCH_r08 was invalidated
+        # by blockmgr-*/shuffle_*.index vanishing mid-run when a chain
+        # step's rm -rf swept the default /tmp scratch (VERDICT r8 #2)
+        .config("spark.local.dir",
+                os.environ.get("DRPT_LOCAL_DIR", "/tmp/drpt-spark-local"))
     )
     return b.getOrCreate()

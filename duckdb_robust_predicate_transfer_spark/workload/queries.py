@@ -146,8 +146,8 @@ def q_sketch_transfer(spark, sf_dir):
     oracle=f"""
     SELECT o_orderstatus, COUNT(*) AS cnt, {sql_dsum(REVENUE, "rev")}
     FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
+    JOIN orders   ON CAST(l_orderkey AS VARCHAR) = CAST(o_orderkey AS VARCHAR)
+    JOIN customer ON CAST(o_custkey AS VARCHAR) = CAST(c_custkey AS VARCHAR)
     JOIN nation   ON c_nationkey = n_nationkey
     WHERE n_name = 'NATION_19'
     GROUP BY o_orderstatus
@@ -161,9 +161,14 @@ def q_subtree_rescue(spark, sf_dir):
     scan-fused bloom built from the ALREADY-REDUCED build lineage (the
     reference's forward pass over reduced rows, rpt_optimizer.cpp:
     884-937): nation's selectivity crosses two shuffle-tier
-    intermediates without a single exchange. Bloom false positives only
-    ADD rows the final joins drop, so the same-SQL oracle must match
-    exactly."""
+    intermediates without a single exchange. The mid-hop join keys are
+    STRING-cast (cast is bijective on BIGINT, so the oracle's casted
+    joins are value-identical to the integer joins): the r8 string-key
+    conditioning only admits rescues whose probe join pays per-row
+    string cost — the JOB-fixture shape — so a bare integer chain
+    would, by design, apply no rescue at all. Bloom false positives
+    only ADD rows the final joins drop, so the same-SQL oracle must
+    match exactly."""
     from ..config import RPTConfig
 
     cfg = RPTConfig(broadcast_key_rows=8, filter_type="bf_only",
@@ -171,11 +176,19 @@ def q_subtree_rescue(spark, sf_dir):
                     backward_min_probe_rows=10**9,
                     host_broadcast_rows=10**9)
     e = eng(spark, sf_dir, cfg)
+    l = e.table("lineitem").withColumn(
+        "l_okey_s", F.col("l_orderkey").cast("string"))
+    o = (e.table("orders")
+         .withColumn("o_okey_s", F.col("o_orderkey").cast("string"))
+         .withColumn("o_ckey_s", F.col("o_custkey").cast("string")))
+    c = e.table("customer").withColumn(
+        "c_ckey_s", F.col("c_custkey").cast("string"))
     j = e.reduce_and_join(
-        {"l": "lineitem", "o": "orders", "c": "customer",
+        {"l": Rel("lineitem", df=l), "o": Rel("orders", df=o),
+         "c": Rel("customer", df=c),
          "n": Rel("nation", "n_name = 'NATION_19'")},
-        [("l", "o", "l_orderkey", "o_orderkey"),
-         ("o", "c", "o_custkey", "c_custkey"),
+        [("l", "o", "l_okey_s", "o_okey_s"),
+         ("o", "c", "o_ckey_s", "c_ckey_s"),
          ("c", "n", "c_nationkey", "n_nationkey")])
     return j.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("cnt"), dsum(revenue_col(), "rev"))

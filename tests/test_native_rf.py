@@ -228,11 +228,17 @@ def test_composed_dual_arbitration_by_bloom_coverage(spark):
         # covered: ops land on BOTH filtered edges -> blooms are pure
         # duplication -> suppression holds through the final run
         e = Engine(spark, sf, RPTConfig(min_probe_rows=0, **base))
-        e.sql(chain_sql)
+        covered_df = e.sql(chain_sql)
         assert e.last_sql_rewritten
         ops = {(o.build, o.probe) for o in e.last_result.applied}
         assert ("customer", "orders") in ops, ops
         assert spark.conf.get(_ENABLED) == "false"
+        # the suppression must hold through EXECUTION, not just the
+        # conf: a bloom-laden cached plan running under nominal
+        # suppression would silently defeat the arbitration
+        covered_df.collect()
+        assert count_native_blooms(covered_df) == 0, \
+            "covered leg executed with native blooms under suppression"
         spark.conf.set(_ENABLED, "true")  # next leg re-asserts
 
         # uncovered: gate 2c (bf_benefit_probe_ratio) suppresses the
@@ -248,13 +254,20 @@ def test_composed_dual_arbitration_by_bloom_coverage(spark):
         unc = dict(base, bf_cheap_keys=100, bf_benefit_probe_ratio=100,
                    host_broadcast_rows=0)
         e2 = Engine(spark, sf, RPTConfig(min_probe_rows=0, **unc))
-        e2.sql(chain_sql)
+        dual_df = e2.sql(chain_sql)
         assert e2.last_sql_rewritten
         ops2 = {(o.build, o.probe) for o in e2.last_result.applied}
         assert ("orders", "lineitem") not in ops2, ops2
         assert ("customer", "orders") in ops2, ops2
         assert spark.conf.get(_ENABLED) == "true", \
             "uncovered native bloom must flip the engaged query to dual"
+        # ...and the restored injection must reach the EXECUTED plan
+        # (the optimized-plan-caching failure mode the engine docstring
+        # warns about: a plan cached under suppression would execute
+        # bloom-less while the conf reads true)
+        dual_df.collect()
+        assert count_native_blooms(dual_df) > 0, \
+            "dual leg executed without native blooms despite the flip"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set(_ENABLED, "false")

@@ -208,19 +208,33 @@ def test_sketch_rescue_subtree_hop(spark, sf_dir):
     from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
 
     # c (selective) -> o (unfiltered mid) -> l (fact): o->l is the
-    # rescue candidate — degree-1 probe, so 2b3 prices zero exchanges
-    rels = {"l": "lineitem", "o": "orders",
-            "c": Rel("customer", "c_custkey % 50 = 0")}
-    edges = [("l", "o", "l_orderkey", "o_orderkey"),
-             ("o", "c", "o_custkey", "c_custkey")]
+    # rescue candidate — degree-1 probe, so 2b3 prices zero exchanges.
+    # Keys are STRING-cast (the JOB-fixture shape): the rescue's repay
+    # is the probe join's per-row string cost, so the string-key
+    # conditioning (r8) only admits string/binary probe keys.
+    def rels_edges(sp):
+        l = sp.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+            "l_okey_s", F.col("l_orderkey").cast("string"))
+        o = (sp.read.parquet(f"{sf_dir}/orders.parquet")
+             .withColumn("o_okey_s", F.col("o_orderkey").cast("string"))
+             .withColumn("o_ckey_s", F.col("o_custkey").cast("string")))
+        c = sp.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+            "c_ckey_s", F.col("c_custkey").cast("string"))
+        rels = {"l": Rel("lineitem", df=l), "o": Rel("orders", df=o),
+                "c": Rel("customer", "c_custkey % 50 = 0", df=c)}
+        edges = [("l", "o", "l_okey_s", "o_okey_s"),
+                 ("o", "c", "o_ckey_s", "c_ckey_s")]
+        return rels, edges
+
+    rels, edges = rels_edges(spark)
     base = dict(broadcast_key_rows=8, filter_type="bf_only",
                 min_probe_rows=0, require_selective_build=True,
                 all_broadcast_bail_rows=0, backward_min_probe_rows=10**9,
                 host_broadcast_rows=0)
 
-    def run(cfg):
+    def run(cfg, rl=None, ed=None):
         e = Engine(spark, sf_dir, cfg)
-        red = e.reduce(rels, edges, cfg)
+        red = e.reduce(rl or rels, ed or edges, cfg)
         return e, red
 
     # c observes to ~3 rows (broadcast semi, o stays scan-local); the
@@ -242,10 +256,24 @@ def test_sketch_rescue_subtree_hop(spark, sf_dir):
             rels, edges).select(*cols).collect())
     assert a == b
 
+    # string-key conditioning: the SAME chain on bare INTEGER keys must
+    # refuse the rescue — an eager bloom over an integer-key probe
+    # forfeits AQE and repays nothing (r8 x1000 regression: Q7
+    # 2.8x -> 0.89x from unconditioned orders->lineitem rescues)
+    int_rels = {"l": "lineitem", "o": "orders",
+                "c": Rel("customer", "c_custkey % 50 = 0")}
+    int_edges = [("l", "o", "l_orderkey", "o_orderkey"),
+                 ("o", "c", "o_custkey", "c_custkey")]
+    e_int, _ = run(RPTConfig(**base), rl=int_rels, ed=int_edges)
+    assert "l" not in {op.probe for op in e_int.last_result.applied}, \
+        "integer-key probe must not be rescued (string-key conditioning)"
+
     # scan-local guard: force c's semi into the shuffle tier (no
-    # observation) — o's lineage now carries an exchange, rescue must
-    # refuse (the r6 sketch-regime Q7 lesson)
-    e2, _ = run(RPTConfig(**{**base, "observe_est_factor": 0.0}))
+    # observation anywhere — gate 2g's weak-build count would broadcast
+    # c too) — o's lineage now carries an exchange, rescue must refuse
+    # (the r6 sketch-regime Q7 lesson)
+    e2, _ = run(RPTConfig(**{**base, "observe_est_factor": 0.0,
+                             "weak_observe_max_base": 0}))
     assert "l" not in {op.probe for op in e2.last_result.applied}
 
     # downstream-weight guard: an absurd factor refuses the rescue

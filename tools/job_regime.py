@@ -57,7 +57,10 @@ WORDS = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
 def ensure_fixture() -> None:
     import duckdb
 
-    tag = f"f{FACT}_v2"  # v2: + movie_info (skewed string FK)
+    tag = f"f{FACT}_v3"  # v2: + movie_info (skewed string FK)
+    # v3: + integer twin keys (t_id_i/co_id_i and the matching fact
+    # FKs) so mixed integer/string-key chains can straddle the r8
+    # string-key conditioning boundary (VERDICT r8 next #8)
     marker = os.path.join(OUT_DIR, f"_DONE_{tag}")
     if os.path.exists(marker):
         return
@@ -83,6 +86,7 @@ def ensure_fixture() -> None:
     # exact frequencies so LIKE predicates have known selectivities
     copy(f"""
       SELECT 't_' || lpad(i::VARCHAR, 9, '0') AS t_id,
+             i::BIGINT AS t_id_i,
              'kind_' || (i % 10) AS t_kind,
              1950 + (hash(i + 31337) % 70) AS t_year,
              'The ' || list_extract({wl}, 1 + i % 20) || ' ' ||
@@ -91,6 +95,7 @@ def ensure_fixture() -> None:
       FROM generate_series(1, {NT}) s(i)""", "title")
     copy(f"""
       SELECT 'co_' || lpad(i::VARCHAR, 7, '0') AS co_id,
+             i::BIGINT AS co_id_i,
              CASE WHEN i % 100 = 3 THEN 'Warner '
                   WHEN i % 100 = 4 THEN 'Universal '
                   ELSE '' END ||
@@ -125,18 +130,22 @@ def ensure_fixture() -> None:
     copy(f"""
       SELECT i AS ci_id,
              't_' || lpad((1 + (hash(i) % {NT}))::VARCHAR, 9, '0') AS ci_tid,
+             (1 + (hash(i) % {NT}))::BIGINT AS ci_tid_i,
              'p_' || lpad((1 + (hash(i + 123457) % {NP}))::VARCHAR, 8, '0') AS ci_pid,
              'role_' || (i % 11) AS ci_role
       FROM generate_series(1, {FACT}) s(i)""", "castinfo")
     copy(f"""
       SELECT 't_' || lpad((1 + (hash(i + 777) % {NT}))::VARCHAR, 9, '0') AS mc_tid,
+             (1 + (hash(i + 777) % {NT}))::BIGINT AS mc_tid_i,
              'co_' || lpad((1 + (hash(i + 999331) % {NC}))::VARCHAR, 7, '0') AS mc_coid,
+             (1 + (hash(i + 999331) % {NC}))::BIGINT AS mc_coid_i,
              CASE WHEN i % 20 = 3 THEN '(presents) (co-production)'
                   WHEN i % 20 = 4 THEN '(as metro pictures)'
                   ELSE '(' || (i % 1009)::VARCHAR || ')' END AS mc_note
       FROM generate_series(1, {FACT // 4}) s(i)""", "movie_company")
     copy(f"""
       SELECT 't_' || lpad((1 + (hash(i + 424243) % {NT}))::VARCHAR, 9, '0') AS mk_tid,
+             (1 + (hash(i + 424243) % {NT}))::BIGINT AS mk_tid_i,
              'kw_' || lpad((1 + (hash(i + 515151) % {NK}))::VARCHAR, 7, '0') AS mk_kwid
       FROM generate_series(1, {FACT // 3}) s(i)""", "movie_keyword")
     # skewed string FK: 30% of movie_info rows hit 1,000 hot titles
@@ -418,6 +427,88 @@ QUERIES = {
       WHERE mi_tid = t_id AND mc_tid = t_id AND mc_coid = co_id
         AND co_country = '[fr]'
         AND t_kind IN ('kind_0', 'kind_4', 'kind_8')
+    """,
+    # -- r9 additions (VERDICT r8 #8): mixed integer/string-key chains
+    #    that straddle the string-key conditioning boundary, plus more
+    #    weak-dim LIKE fanouts (the jq7/jq23 class gate 2g prices away)
+    # mixed keys in ONE query: selective company reaches the fact over
+    # the INTEGER twin edge (broadcast semi fine, bitmap/rescue must
+    # refuse), while the title edge stays string
+    "jq26": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_company, company
+      WHERE mc_tid = t_id AND mc_coid_i = co_id_i
+        AND co_name LIKE 'Universal %'
+        AND t_kind = 'kind_2'
+    """,
+    # integer mid-hop: keyword's reduction reaches title only across an
+    # INTEGER edge — the rescue must refuse it (conditioning) and the
+    # dual arbitration may hand that hop to a native bloom
+    "jq27": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_keyword, keyword
+      WHERE mk_tid_i = t_id_i AND mk_kwid = kw_id
+        AND kw_word = 'sequel'
+    """,
+    # weak-LIKE fanout, jq23 widened to three arms: every dim passes
+    # 70-95%, gate 2g must disengage the lot (tie, never lose)
+    "jq28": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_keyword, keyword, movie_company, company
+      WHERE mk_tid = t_id AND mk_kwid = kw_id
+        AND mc_tid = t_id AND mc_coid = co_id
+        AND co_country IN ('[us]', '[de]', '[fr]')
+        AND kw_word LIKE '%a%'
+        AND t_year > 1955
+    """,
+    # keep/kill mix on one query: Warner prefix is ~1% (op survives),
+    # the 66-year window keeps ~94% (gate 2g kills the title op)
+    "jq29": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_company, company, movie_keyword
+      WHERE mc_tid = t_id AND mc_coid = co_id AND mk_tid = t_id
+        AND co_name LIKE 'Warner %'
+        AND t_year BETWEEN 1950 AND 2015
+    """,
+    # jq17 widened: BOTH dims all-pass LIKEs — the engine must fully
+    # disengage (gate 2g on observed counts), leaving native free
+    "jq30": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_company, company, movie_keyword, keyword
+      WHERE mc_tid = t_id AND mc_coid = co_id
+        AND mk_tid = t_id AND mk_kwid = kw_id
+        AND co_name LIKE '%Pictures%'
+        AND kw_word LIKE '%a%'
+    """,
+    # selective person arm must cross castinfo over the INTEGER title
+    # twin while the skewed movie_info arm joins by string: transitive
+    # reach with a refused-rescue hop in the middle
+    "jq31": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, castinfo, person, movie_info
+      WHERE ci_tid_i = t_id_i AND ci_pid = p_id AND mi_tid = t_id
+        AND p_name LIKE 'Alpha, %'
+    """,
+    # pincer with mixed-key edges on the SAME dim: company reaches
+    # title over the integer twin, keyword over the string edge
+    "jq32": """
+      SELECT MIN(kw_word) AS min_kw, COUNT(*) AS n
+      FROM company, movie_company, title, movie_keyword, keyword
+      WHERE mc_coid = co_id AND mc_tid_i = t_id_i
+        AND mk_tid = t_id AND mk_kwid = kw_id
+        AND co_name LIKE 'Warner %'
+        AND kw_word = 'based-on-novel'
+    """,
+    # IN-subquery mark behind a WEAK outer dim window: the mark arm is
+    # selective, the 45-year window is not — 2g must kill only the
+    # title op and keep the subquery's keyword cascade
+    "jq33": """
+      SELECT MIN(mi_info) AS min_info, COUNT(*) AS n
+      FROM title, movie_info
+      WHERE mi_tid = t_id
+        AND t_year BETWEEN 1960 AND 2005
+        AND t_id IN (SELECT mk_tid FROM movie_keyword, keyword
+                     WHERE mk_kwid = kw_id AND kw_word = 'sequel')
     """,
 }
 
