@@ -159,6 +159,14 @@ class RPTConfig:
     #: free); big builds (> bound) are excluded so TPC-H's 15M+-row
     #: filtered customer/orders never pay an extra scan. 0 disables.
     weak_observe_max_base: int = 4_000_000
+    #: ...and builds BELOW this base are not worth the count job: a
+    #: sub-64k key set's broadcast hash relation builds in a few tens
+    #: of ms, so even a 100%-keep op costs less than observing it
+    #: would (the measured harm scales with key count — jq17's loss
+    #: came from a 500k-key all-pass build). Keeps toy-scale bench
+    #: queries free of per-op count jobs; at cluster scale every dim
+    #: clears the bar and the weak check engages.
+    weak_observe_min_base: int = 64_000
     #: a broadcast-tier exact-key build BELOW this many (pre-decay
     #: estimated) keys is "cheap": its driver hash relation builds in
     #: tens of ms and the op is near-free, so no benefit test applies.

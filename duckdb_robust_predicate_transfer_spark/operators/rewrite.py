@@ -460,7 +460,8 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
         if (cfg.weak_observe_max_base > 0 and rows_base is not None
                 and op.build not in reduced and op.build in filtered
                 and op.build not in observed
-                and 0 < rows_base.get(op.build, 0.0)
+                and cfg.weak_observe_min_base
+                <= rows_base.get(op.build, 0.0)
                 <= cfg.weak_observe_max_base):
             observed.add(op.build)
             est = float(build.count())
