@@ -285,6 +285,48 @@ def test_sketch_rescue_subtree_hop(spark, sf_dir):
     assert "l" not in {op.probe for op in e4.last_result.applied}
 
 
+def test_weak_build_observation_gate2g(spark, sf_dir):
+    """Gate 2g: a dim-sized build whose LOCAL filter keeps >=
+    max_build_keep_frac of its base (observed, not guessed — the fixed
+    0.2 decay cannot tell an all-pass LIKE from a 1% prefix) is dropped
+    on every tier; selective builds pass and their exact counts feed
+    later gates. JOB_REGIME_r08's jq17 (100%-keep company, 0.73x) and
+    jq23 (70%-keep country IN-list) are the motivating losses."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine, Rel
+
+    edges = [("l", "o", "l_orderkey", "o_orderkey"),
+             ("o", "c", "o_custkey", "c_custkey")]
+    base = dict(min_probe_rows=0, all_broadcast_bail_rows=0,
+                host_broadcast_rows=0)
+
+    def run(filt, **kw):
+        e = Engine(spark, sf_dir, RPTConfig(**base, **kw))
+        e.reduce({"l": "lineitem", "o": "orders",
+                  "c": Rel("customer", filt)}, edges, e.config)
+        return e.last_result
+
+    weak = "c_custkey % 10 < 8"      # keeps ~80% of customers
+    strong = "c_custkey % 50 = 0"    # keeps ~2%
+
+    def applied(r):
+        return [(o.build, o.probe) for o in r.applied]
+
+    # weak build, bounds admit the base -> observed and dropped
+    r = run(weak, weak_observe_min_base=0)
+    assert ("c", "o") not in applied(r) and r.drops.get("gate2g"), \
+        (r.applied, r.drops)
+    # selective build under the same bounds -> op applies
+    r2 = run(strong, weak_observe_min_base=0)
+    assert ("c", "o") in applied(r2), (r2.applied, r2.drops)
+    # base below the min bound -> not worth the count job, op applies
+    r3 = run(weak)  # default min 64k >> sf0.001 customer base
+    assert ("c", "o") in applied(r3), (r3.applied, r3.drops)
+    # master switch
+    r4 = run(weak, weak_observe_min_base=0, weak_observe_max_base=0)
+    assert ("c", "o") in applied(r4), (r4.applied, r4.drops)
+
+
 def test_exact_dedup_keeps_one_per_hash(spark, sf_dir):
     from duckdb_robust_predicate_transfer_spark.operators.dedup import (
         exact_dedup)
