@@ -29,8 +29,10 @@ git add TPCH_SCALE_X1000_r09.json ORACLE_X1000_r09.log 2>/dev/null && \
 # 2. JOB regime at the v3 fixture (33 queries: +8 mixed-key /
 #    weak-LIKE shapes), runs=3 — re-certifies the r8 wins AND the
 #    gate-2g weak-build retirements at 100M fact rows.
+#    runs=2 (33 queries x 5 legs: the extra 8 shapes cost what the
+#    third run would have; min-of-2 on a quiet machine is stable)
 DRPT_JOB_DIR=/tmp/drpt_job DRPT_JOB_FACT=100000000 \
-  python -u tools/job_regime.py --runs 3 --json JOB_REGIME_r09.json \
+  python -u tools/job_regime.py --runs 2 --json JOB_REGIME_r09.json \
   > /tmp/job_regime_r09.log 2>&1
 echo "JOB rc=$?"
 git add JOB_REGIME_r09.json 2>/dev/null && \
