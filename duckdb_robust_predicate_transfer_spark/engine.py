@@ -302,8 +302,19 @@ class Engine:
         arbitration runs once per novel statement."""
         cache = getattr(self.catalog, "_drpt_table_cols", None)
         if cache is None:
-            cache = {t: {c.lower() for c in self.catalog.table(t).columns}
-                     for t in self.catalog.known_tables()}
+            cache = {}
+            for t in self.catalog.known_tables():
+                # known_tables() lists the standard catalog; a fixture
+                # dir may materialize only a subset (the JOB dir has no
+                # part.parquet) — reading a missing one raised out of
+                # _table_cols and silently disabled the arbitration for
+                # EVERY query on that fixture (r9 in-round regression:
+                # composed_dual_rf all-False at 100M)
+                try:
+                    cache[t] = {c.lower()
+                                for c in self.catalog.table(t).columns}
+                except Exception:
+                    continue
             self.catalog._drpt_table_cols = cache
         return cache
 
