@@ -298,24 +298,29 @@ class Engine:
         """table -> lowercase column-name set for every known table,
         used by native_bloom_edges to resolve a bloom side whose
         lineage spans several leaves (a shadowed reduced view). Cached
-        on the Catalog — schema reads are parquet-footer-only, but the
+        on the Catalog, keyed by the table-name set — a table
+        registered after the first arbitration re-enters the map
+        instead of being skipped for the life of the session
+        (ADVICE r9); schema reads are parquet-footer-only and the
         arbitration runs once per novel statement."""
-        cache = getattr(self.catalog, "_drpt_table_cols", None)
-        if cache is None:
-            cache = {}
-            for t in self.catalog.known_tables():
-                # known_tables() lists the standard catalog; a fixture
-                # dir may materialize only a subset (the JOB dir has no
-                # part.parquet) — reading a missing one raised out of
-                # _table_cols and silently disabled the arbitration for
-                # EVERY query on that fixture (r9 in-round regression:
-                # composed_dual_rf all-False at 100M)
-                try:
-                    cache[t] = {c.lower()
-                                for c in self.catalog.table(t).columns}
-                except Exception:
-                    continue
-            self.catalog._drpt_table_cols = cache
+        names = frozenset(self.catalog.known_tables())
+        stamped = getattr(self.catalog, "_drpt_table_cols", None)
+        if stamped is not None and stamped[0] == names:
+            return stamped[1]
+        cache = {}
+        for t in sorted(names):
+            # known_tables() lists the standard catalog; a fixture
+            # dir may materialize only a subset (the JOB dir has no
+            # part.parquet) — reading a missing one raised out of
+            # _table_cols and silently disabled the arbitration for
+            # EVERY query on that fixture (r9 in-round regression:
+            # composed_dual_rf all-False at 100M)
+            try:
+                cache[t] = {c.lower()
+                            for c in self.catalog.table(t).columns}
+            except Exception:
+                continue
+        self.catalog._drpt_table_cols = (names, cache)
         return cache
 
     def _sync_native_rf(self, engaged: bool) -> None:

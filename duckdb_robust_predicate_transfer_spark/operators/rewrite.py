@@ -301,6 +301,176 @@ def _sketch_tier(cfg, est: float) -> bool:
             and est <= cfg.sketch_max_keys)
 
 
+def plan_candidates(dfs: dict, rows_est: dict, filtered: set,
+                    plan: TransferPlan, cfg: RPTConfig,
+                    rows_base: dict | None = None,
+                    neighbor_edges: dict | None = None,
+                    opaque_rels: set | None = None,
+                    host_prefiltered: "set | None" = None) -> list:
+    """Job-free dry run of ``apply_transfer``'s gate stack: which ops
+    WOULD apply (and on which tier), using estimates only — no
+    observation counts, no bloom builds, no min/max aggs, no persists.
+
+    Feeds the cession arbitration (engine._cede_verdict): the decision
+    whether to disengage and hand a query to native runtime blooms must
+    come BEFORE any eager job runs, or the jobs it exists to avoid are
+    already sunk. Divergence from the real pass is one-sided by
+    construction: observation-driven drops (gate 2g, the rescue's
+    post-observation re-checks) cannot be seen here, so the dry run may
+    list a candidate the real pass would drop — which can only make the
+    "extra reach" look bigger and REFUSE a cession, never fabricate
+    one. Minmax-only applications are ignored (an op whose key tier is
+    suppressed and whose only landing would be a BETWEEN predicate does
+    not count as reach).
+
+    Returns [(op, tier)] with tier in "exact_broadcast" |
+    "exact_shuffle" | "sketch" | "empty"-free (no empty detection
+    without jobs).
+    """
+    opaque_rels = opaque_rels or set()
+    rows_est = dict(rows_est)
+    rows_pre = dict(rows_est)
+    reduced: set = set()
+    out: list = []
+    info: dict = {a: ({a} if (a in filtered
+                              or not cfg.require_selective_build)
+                      else set()) for a in dfs}
+    scan_local: dict = {a: True for a in dfs}
+
+    def _is_dsv2(alias: str) -> bool:
+        try:
+            return "rptparquet" in (
+                dfs[alias]._jdf.queryExecution().analyzed().toString())
+        except Exception:
+            return True
+
+    for op in plan.ops:
+        est = rows_est.get(op.build, float("inf"))
+        if not (info[op.build] - info[op.probe] - {op.probe}):
+            continue
+        if (op.build not in filtered and op.build not in reduced
+                and (cfg.require_selective_build
+                     or est > cfg.max_unfiltered_build_rows)):
+            continue
+        if (est > cfg.broadcast_key_rows
+                and rows_est.get(op.probe, float("inf"))
+                < cfg.min_probe_rows):
+            continue
+        if est > cfg.broadcast_key_rows and rows_base is not None:
+            base = rows_base.get(op.build, 0.0)
+            if base > 0 and est >= cfg.max_build_keep_frac * base:
+                continue
+        force_sketch = False
+        if (cfg.skip_redundant_shuffle_semi
+                and neighbor_edges is not None
+                and est > cfg.broadcast_key_rows
+                and not _sketch_tier(cfg, est)):
+            others = neighbor_edges.get(op.probe, [])
+            saves_exchange = any(
+                n != op.build and set(cols) != set(op.probe_cols)
+                and rows_est.get(n, float("inf")) > cfg.host_broadcast_rows
+                for n, cols in others)
+            if not saves_exchange:
+                build_base = (rows_base or {}).get(op.build, 0.0) or est
+                ok = (cfg.sketch_rescue
+                      and est <= cfg.sketch_max_keys
+                      and _string_keys(dfs[op.probe], op.probe_cols)
+                      and (op.phase == "forward"
+                           or rows_est.get(op.probe, float("inf"))
+                           >= cfg.backward_min_probe_rows)
+                      and scan_local.get(op.build, True)
+                      and _downstream_weight(
+                          op.probe, plan.ops, rows_base or rows_est)
+                      >= cfg.sketch_rescue_probe_factor * build_base)
+                if not ok:
+                    continue
+                force_sketch = True
+        probe_big = (cfg.bloom_probe_min_rows > 0
+                     and rows_est.get(op.probe, 0.0)
+                     >= cfg.bloom_probe_min_rows
+                     and _string_keys(dfs[op.probe], op.probe_cols))
+        suppress_bf = False
+        if (cfg.bf_benefit_probe_ratio > 0
+                and cfg.filter_type != "minmax_only"
+                and est <= cfg.broadcast_key_rows
+                and not force_sketch
+                and not _sketch_tier(cfg, est)):
+            pre = rows_pre.get(op.build, est)
+            if (pre > cfg.bf_cheap_keys
+                    and rows_est.get(op.probe, float("inf"))
+                    < cfg.bf_benefit_probe_ratio * pre):
+                if probe_big and not _is_dsv2(op.probe):
+                    force_sketch = True
+                else:
+                    suppress_bf = True
+        if (not suppress_bf and cfg.skip_no_exchange_probe
+                and cfg.host_broadcast_rows > 0
+                and not any(o.build == op.probe and o.phase == "forward"
+                            for o in plan.ops)
+                and est <= cfg.broadcast_key_rows
+                and not force_sketch
+                and est <= cfg.host_broadcast_rows
+                and not _sketch_tier(cfg, est)
+                and op.probe not in opaque_rels
+                and op.probe in (neighbor_edges or {})):
+            others = [(n, cols) for n, cols in neighbor_edges[op.probe]
+                      if n != op.build]
+            crosses_exchange = any(
+                rows_est.get(n, float("inf")) > cfg.host_broadcast_rows
+                for n, _cols in others)
+            host_really_filters = (host_prefiltered is None or any(
+                p == op.probe and b == op.build
+                and (k is None or set(op.probe_cols) <= k)
+                for p, b, k in host_prefiltered))
+            if (not crosses_exchange and host_really_filters
+                    and not _is_dsv2(op.probe)):
+                suppress_bf = True
+        if (not suppress_bf and cfg.skip_host_prefiltered_semi
+                and host_prefiltered
+                and any(p == op.probe and b == op.build
+                        and (k is None or set(op.probe_cols) <= k)
+                        for p, b, k in host_prefiltered)
+                and est <= cfg.broadcast_key_rows
+                and not force_sketch
+                and not _sketch_tier(cfg, est)
+                and op.build not in reduced
+                and not any(o.build == op.probe and o.phase == "forward"
+                            for o in plan.ops)
+                and cfg.backward_broadcast_only
+                and rows_est.get(op.probe, 0.0)
+                > 10 * cfg.broadcast_key_rows
+                and not _is_dsv2(op.probe)):
+            suppress_bf = True
+        if (op.phase == "backward"
+                and rows_est.get(op.probe, float("inf"))
+                < cfg.backward_min_probe_rows):
+            continue
+        if (op.phase == "backward" and cfg.backward_broadcast_only
+                and est > cfg.broadcast_key_rows and not force_sketch):
+            continue
+        if (op.phase == "backward" and cfg.host_broadcast_rows
+                and rows_est.get(op.probe, float("inf"))
+                <= cfg.host_broadcast_rows):
+            continue
+        if suppress_bf or cfg.filter_type == "minmax_only":
+            continue
+        sketch = _sketch_tier(cfg, est) or force_sketch or probe_big
+        if sketch:
+            tier = "sketch"
+            scan_local[op.probe] = scan_local.get(op.probe, True)
+        elif est > cfg.broadcast_key_rows:
+            tier = "exact_shuffle"
+            scan_local[op.probe] = False
+        else:
+            tier = "exact_broadcast"
+        out.append((op, tier))
+        reduced.add(op.probe)
+        info[op.probe] |= info[op.build]
+        if op.probe in rows_est:
+            rows_est[op.probe] *= REDUCTION_DECAY
+    return out
+
+
 def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                    plan: TransferPlan, cfg: RPTConfig,
                    probe_paths: dict | None = None,
@@ -401,6 +571,12 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
 
     #: builds whose rows were observed exactly this schedule (count paid)
     observed: set = set()
+    #: the subset observed BY GATE 2g (weak-build observation): the
+    #: keep-frac drop below prices only these — a build observed via
+    #: gate 0b's near-boundary tiering or the 2f rescue's backward path
+    #: keeps its r8 behavior, and weak_observe_max_base=0 genuinely
+    #: disables the whole feature (ADVICE r9)
+    observed_weak: set = set()
 
     #: alias -> its reduction lineage is scan-local (no shuffled semi
     #: applied to it): broadcast semis, bloom probes, min/max BETWEENs
@@ -464,10 +640,11 @@ def apply_transfer(dfs: dict, rows_est: dict, filtered: set,
                 <= rows_base.get(op.build, 0.0)
                 <= cfg.weak_observe_max_base):
             observed.add(op.build)
+            observed_weak.add(op.build)
             est = float(build.count())
             rows_est[op.build] = est
             rows_pre[op.build] = est
-        if (op.build in observed and op.build not in reduced
+        if (op.build in observed_weak and op.build not in reduced
                 and rows_base is not None):
             bb = rows_base.get(op.build, 0.0)
             if bb > 0 and est >= cfg.max_build_keep_frac * bb:

@@ -292,7 +292,18 @@ def native_bloom_edges(fresh: DataFrame, table_paths: dict,
             if len(tabs) == 1:
                 return next(iter(tabs))
             t = owners.get(col.lower()) if col else None
-            # ownership must agree with the lineage when we have one
+            # ownership must agree with the lineage when we have one.
+            # Empty ``tabs`` accepts ownership alone — NOT a mistake
+            # (ADVICE r10 considered requiring >=1 resolved leaf):
+            # bloom subquery sides are EXPRESSIONS, not plan nodes, so
+            # leaf resolution returns zero leaves for every creation
+            # side (measured: the sf0.001 arbitration test's reduced-
+            # orders bloom resolves {} leaves); requiring a leaf would
+            # disable the ownership mechanism everywhere it matters.
+            # The theoretical mis-attribution (a temp view carrying a
+            # uniquely-owned catalog column name) makes an edge count
+            # as COVERED, i.e. falls back to the certified suppression
+            # default — a safe failure direction.
             return t if t is not None and (not tabs or t in tabs) else None
 
         edges: list = []
@@ -319,6 +330,11 @@ def native_bloom_edges(fresh: DataFrame, table_paths: dict,
                 head = sub.toString().split("\n", 1)[0]
                 cm = _CREATE_COL.search(head)
                 if cm is None:
+                    # keep the slot (preserving conjunct order) so one
+                    # cast-wrapped build does not discard the Filter's
+                    # other, parseable edges (ADVICE r9): this conjunct
+                    # alone counts as covered
+                    builds.append((None, None))
                     continue
                 bt = leaf_tables(sub)
                 builds.append((resolve(bt, cm.group(1)), cm.group(1)))

@@ -325,6 +325,18 @@ def test_weak_build_observation_gate2g(spark, sf_dir):
     # master switch
     r4 = run(weak, weak_observe_min_base=0, weak_observe_max_base=0)
     assert ("c", "o") in applied(r4), (r4.applied, r4.drops)
+    # ADVICE r9: the keep-frac drop must price only builds gate 2g
+    # ITSELF observed — a build observed via gate 0b's near-boundary
+    # tiering (est > broadcast_key_rows, observed back under it) kept
+    # its op in r8 and must keep it whether 2g is disabled (master
+    # switch) or enabled (separate observed_weak set)
+    nb = dict(broadcast_key_rows=25, max_build_keep_frac=0.1)
+    # c_custkey % 20 < 3 keeps 24/150 customers: guess 30 > 25 -> 0b
+    # observes -> 24 <= 25 re-tiers broadcast; 24 >= 0.1*150 is "weak"
+    r5 = run("c_custkey % 20 < 3", weak_observe_max_base=0, **nb)
+    assert ("c", "o") in applied(r5), (r5.applied, r5.drops)
+    r6 = run("c_custkey % 20 < 3", **nb)  # 2g enabled, base < min bound
+    assert ("c", "o") in applied(r6), (r6.applied, r6.drops)
 
 
 def test_exact_dedup_keeps_one_per_hash(spark, sf_dir):
