@@ -411,6 +411,54 @@ class RPTConfig:
     #: likewise) keep suppression. Plan-shape evidence only, never
     #: timing.
     compose_subtree_rf: bool = True
+    #: per-query NATIVE CESSION (r10) — the mirror image of
+    #: compose_subtree_rf's uncovered-edge dual. That arbitration can
+    #: only ADD native blooms on edges no op covers; it cannot hand a
+    #: covered-but-weaker edge to the host, which is exactly how the
+    #: composed default lost to plain native on the v3 JOB regime
+    #: (VERDICT r9: composed 0.893x of native; jq3 0.37, jq25 0.43,
+    #: jq18/jq20 0.50). Mechanism: BEFORE any eager job, plan the
+    #: ORIGINAL statement once under injection (pure planning, cached)
+    #: and dry-run the gate stack (rewrite.plan_candidates). When every
+    #: candidate op's (probe, cols, build) edge is covered by a native
+    #: bloom — i.e. the host expresses the same per-edge filtering with
+    #: LAZY, AQE-integrated bloom subqueries while our expression costs
+    #: serialized eager jobs — and the reach we would uniquely add
+    #: beyond the host's blooms is small (see cede_extra_probe_frac),
+    #: DISENGAGE and ride native for this query. Queries whose ops
+    #: reach tables native cannot (multi-hop transfer into unfiltered
+    #: arms — jq15's movie_info, jq5's castinfo, every TPC-H cascade
+    #: fact) keep the engaged path untouched. This is the reference's
+    #: --no-jfp discipline completed in both directions: one mechanism
+    #: per edge, whichever is cheaper (test_job_queries.sh:123-138).
+    cede_covered_edges: bool = True
+    #: ...the "uniquely added reach is small" bound: cede only when the
+    #: largest footer-row probe among UNCOVERED candidate ops is at most
+    #: this fraction of the query's largest relation. 0.15 separates
+    #: title-only extra reach (2.5M / 100M fact at the JOB regime) from
+    #: genuine unique value (jq15's movie_info 20M / 33M = 0.6, TPC-H's
+    #: lineitem cascades = 1.0). Relative, so it scales with fixture
+    #: size. 0 cedes only on full coverage.
+    cede_extra_probe_frac: float = 0.15
+    #: query-level engagement floor (VERDICT r9 #3): when ceding, ride
+    #: OFF (keep native suppressed too) instead of native if every
+    #: candidate probe's predicate-shape-prior row estimate is at most
+    #: this — the off plan's pushed filters already leave so little
+    #: that even the host's lazy blooms cost more than they cut (JOB
+    #: jq1: off 0.89 s, native 1.64 s — its fact arm keeps ~5% via a
+    #: pushed LIKE). Shape priors (engine._pred_prior) distinguish a
+    #: selective '%(presents)%' from an anti-selective NOT LIKE where
+    #: the flat 0.2 guess cannot. 0 disables the floor (always ride
+    #: native when ceding).
+    cede_suppress_max_probe_rows: int = 8_000_000
+    #: A/B knob (VERDICT r9 #4): False runs reduce()'s eager jobs with
+    #: native injection still live instead of suppressing first — the
+    #: Q22-era lesson said suppress (eager jobs with injection live
+    #: plant blooms inside themselves, TPCH_SCALE_X1000_r06), but raw
+    #: dual beat composed on v3 shapes and the assumption deserves its
+    #: regime-specific A/B (tools/eager_ab.py). Default keeps the
+    #: certified behavior.
+    suppress_during_eager: bool = True
     #: persist reduced tables that both feed a key-set and the final join
     persist_reduced: bool = True
     #: ...but only when the reduced build side is big enough that

@@ -93,6 +93,50 @@ _PREFILTER_CACHE: dict = {}
 #: pass each
 _DUAL_RF_CACHE: dict = {}
 
+#: (statement cache key, rf-threshold confs) -> frozenset of lowercased
+#: (probe_table, probe_col, build_table) native bloom edges of the
+#: ORIGINAL (un-rewritten) statement — the cession arbitration's
+#: coverage evidence (config.cede_covered_edges); one planning pass per
+#: novel statement
+_ORIG_RF_CACHE: dict = {}
+
+
+import re as _re
+
+_LIKE_PAT = _re.compile(r"LIKE\s+'([^']*)'", _re.IGNORECASE)
+
+
+def _pred_prior(conjunct: str) -> float:
+    """Predicate-shape selectivity prior for ONE WHERE conjunct (SQL
+    text, plans/extract.py LeafInstance.filters). Selinger-style
+    constants, used ONLY by the cession floor (cede_suppress_max_probe_
+    rows) — never by the transfer gates, which keep the certified flat
+    0.2 guess plus observation. The flat guess cannot tell
+    mc_note LIKE '%(presents)%' (selective — JOB jq1's off plan is
+    already minimal) from mc_note NOT LIKE '...' (anti-selective —
+    jq6's fact arm stays full-size and blooms pay); the shapes can."""
+    s = f" {conjunct.upper()} "
+    if " NOT LIKE " in s:
+        return 0.85
+    if " LIKE " in s:
+        m = _LIKE_PAT.search(conjunct)
+        if m and not m.group(1).startswith("%"):
+            return 0.1  # prefix pattern: range-like
+        return 0.2
+    if " NOT IN " in s or " IS NOT NULL " in s:
+        return 0.9
+    if " BETWEEN " in s:
+        return 0.3
+    if " IN " in s or " IN(" in s:
+        return 0.25
+    if "!=" in s or "<>" in s:
+        return 0.9
+    if any(o in s for o in (">=", "<=", ">", "<")):
+        return 0.4
+    if "=" in s:
+        return 0.1
+    return 0.2
+
 
 def normalize_edges(edges: list) -> list:
     out = []
@@ -167,9 +211,21 @@ class Engine:
         #: (compose_subtree_rf): sql() then restores injection for the
         #: final run — per-query dual
         self._dual_rf = False
+        #: set by reduce() when the cession arbitration disengaged the
+        #: query to hand its covered edges to native runtime blooms
+        #: (config.cede_covered_edges); _cede_ride_off additionally
+        #: means the floor kept native suppressed too (ride off)
+        self.last_cede = False
+        self._cede_ride_off = False
+        try:
+            # session-stashed observability twin (workload functions
+            # construct Engines internally; harnesses read this)
+            self.spark._drpt_last_cede = None
+        except Exception:
+            pass
         if not auto_rpt or not cfg.enabled or self.catalog is None:
             return df
-        if cfg.suppress_native_rf:
+        if cfg.suppress_native_rf and cfg.suppress_during_eager:
             # suppress BEFORE the transfer runs, not after: reduce()'s
             # eager jobs (observe counts, min/max aggs, key-set builds,
             # persists) are real queries, and with injection still live
@@ -294,6 +350,139 @@ class Engine:
         _DUAL_RF_CACHE[ek] = dual
         return dual
 
+    def _orig_bloom_edges(self, query: str, cfg: RPTConfig) -> frozenset:
+        """Lowercased (probe_table, probe_col, build_table) edges of the
+        native runtime blooms Spark would plant in the ORIGINAL
+        statement — the cession arbitration's coverage evidence.
+
+        Must be called BEFORE the views are shadowed (the evidence is
+        what the host does when the transfer stands down entirely, i.e.
+        the plain native leg's plan). Edges with an unresolvable side
+        are omitted: a candidate op can then never count as covered by
+        them, which refuses cession — the safe direction, since
+        suppression+engagement is the certified default. One planning
+        pass (~0.2-0.5 s) per novel statement, cached like the
+        gate-2e/dual evidence."""
+        rf_confs = []
+        for k in ("spark.sql.optimizer.runtime.bloomFilter."
+                  "applicationSideScanSizeThreshold",
+                  "spark.sql.optimizer.runtime.bloomFilter."
+                  "creationSideThreshold",
+                  "spark.sql.autoBroadcastJoinThreshold"):
+            try:
+                rf_confs.append(self.spark.conf.get(k))
+            except Exception:
+                rf_confs.append("")
+        ek = (getattr(self, "_stmt_ck", None) or query, tuple(rf_confs))
+        if ek in _ORIG_RF_CACHE:
+            return _ORIG_RF_CACHE[ek]
+        from .plans.catalyst_order import native_bloom_edges
+
+        key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        edges: frozenset = frozenset()
+        try:
+            prior = self.spark.conf.get(key, "false")
+        except Exception:
+            prior = "false"
+        try:
+            self.spark.conf.set(key, "true")
+            table_paths = {t: self.catalog.path(t)
+                           for t in self.catalog.known_tables()}
+            blooms = native_bloom_edges(self.spark.sql(query),
+                                        table_paths,
+                                        self._table_cols())
+            edges = frozenset(
+                (b["probe_table"].lower(), b["probe_col"].lower(),
+                 b["build_table"].lower())
+                for b in blooms or ()
+                if None not in (b["probe_table"], b["probe_col"],
+                                b["build_table"]))
+        except Exception:
+            edges = frozenset()
+        finally:
+            try:
+                self.spark.conf.set(key, prior)
+            except Exception:
+                pass
+        if len(_ORIG_RF_CACHE) >= 256:
+            _ORIG_RF_CACHE.pop(next(iter(_ORIG_RF_CACHE)))
+        _ORIG_RF_CACHE[ek] = edges
+        return edges
+
+    def _cede_verdict(self, query: str, cfg: RPTConfig, plan, dfs: dict,
+                      rows_est: dict, filtered: set, rows_base: dict,
+                      neighbor_edges: dict, opaque: set,
+                      host_prefiltered) -> "tuple[bool, bool]":
+        """(cede, ride_off): should this query DISENGAGE and hand its
+        edges to native runtime blooms (config.cede_covered_edges)?
+
+        Runs inside reduce() after scheduling but BEFORE any eager job
+        — the whole point is not to sink the jobs the cession avoids.
+        Candidates come from the job-free dry run of the gate stack
+        (rewrite.plan_candidates); coverage from the ORIGINAL plan's
+        native bloom edges. Cede when every candidate edge is covered
+        or the uncovered candidates' probe mass is within
+        cede_extra_probe_frac of the query's largest relation — the
+        host then expresses (almost) everything our eager ops would,
+        lazily. ride_off additionally keeps native suppressed when the
+        shape-prior probe mass is under cede_suppress_max_probe_rows
+        (the jq1 floor: the off plan's pushed filters already leave
+        nothing worth blooming)."""
+        if not (cfg.suppress_native_rf and cfg.compose_subtree_rf
+                and cfg.cede_covered_edges):
+            return False, False
+        if getattr(self.spark, "_drpt_rf_stash", None) != "true":
+            return False, False
+        from .operators.rewrite import plan_candidates
+
+        cand = plan_candidates(dfs, rows_est, filtered, plan, cfg,
+                               rows_base=rows_base,
+                               neighbor_edges=neighbor_edges,
+                               opaque_rels=opaque,
+                               host_prefiltered=host_prefiltered)
+        if not cand:
+            return False, False
+        alias_t = getattr(self, "_last_alias_tables", {})
+        # correlated-subquery virtual nodes: their reduction reaches
+        # subquery occurrences through the shadowed view — value no
+        # host bloom can express (TPC-H Q17's 2.5x); never cede
+        if any(str(a).startswith("__sub")
+               for op, _t in cand for a in (op.build, op.probe)):
+            return False, False
+        covered = self._orig_bloom_edges(query, cfg)
+        if not covered:
+            return False, False
+        maxrows = max((r for r in (rows_base or {}).values() if r),
+                      default=0.0)
+        if maxrows <= 0:
+            return False, False
+        extra = 0.0
+        for op, _tier in cand:
+            pt = str(alias_t.get(op.probe, op.probe)).lower()
+            bt = str(alias_t.get(op.build, op.build)).lower()
+            if all((pt, str(pc).lower(), bt) in covered
+                   for pc in op.probe_cols):
+                continue
+            pr = (rows_base or {}).get(op.probe) or float("inf")
+            extra = max(extra, pr)
+        if extra > cfg.cede_extra_probe_frac * maxrows:
+            return False, False
+        ride_off = False
+        if cfg.cede_suppress_max_probe_rows > 0:
+            alias_filters = getattr(self, "_last_alias_filters", {})
+            mass = 0.0
+            for op, _tier in cand:
+                base = (rows_base or {}).get(op.probe, 0.0) or 0.0
+                pri = 1.0
+                for f in alias_filters.get(op.probe, ()):
+                    try:
+                        pri *= _pred_prior(str(f))
+                    except Exception:
+                        pri *= 0.2
+                mass = max(mass, base * max(pri, 0.02))
+            ride_off = mass <= cfg.cede_suppress_max_probe_rows
+        return True, ride_off
+
     def _table_cols(self) -> dict:
         """table -> lowercase column-name set for every known table,
         used by native_bloom_edges to resolve a bloom side whose
@@ -402,6 +591,10 @@ class Engine:
         #: compare native bloom edges with the applied ops' edges
         self._last_alias_tables = {a: i.table
                                    for a, i in ext.instances.items()}
+        #: alias -> local-filter conjunct texts, read by the cession
+        #: floor's shape priors (_pred_prior)
+        self._last_alias_filters = {a: list(i.filters)
+                                    for a, i in ext.instances.items()}
         # gate-bail cache: when this exact statement on this exact data
         # already went through reduce() under this config and EVERY op
         # was gated away, re-running the whole planning path (catalog
@@ -410,7 +603,14 @@ class Engine:
         # dominant cost of repeated small JOB-regime queries after gate
         # 2d disengages them. Data changes invalidate via the mtime/size
         # fingerprints in ck; the config repr keys gate-relevant knobs.
-        bk = (ck, repr(cfg))
+        # The key also carries whether native injection is live for
+        # this leg (the suppression stash): the cession arbitration's
+        # bail depends on it, and one cfg serves both the rpt leg
+        # (injection off — must engage) and the composed leg (injection
+        # on — may cede); sharing their entries would replay one leg's
+        # verdict into the other.
+        rf_live = getattr(self.spark, "_drpt_rf_stash", None) == "true"
+        bk = (ck, repr(cfg), rf_live)
         if _BAIL_CACHE.get(bk):
             # a bail-cache hit returns before reduce() runs, so the
             # PREVIOUS engaged query's persists (stashed on the session)
@@ -421,8 +621,21 @@ class Engine:
                 prev.release()
                 self.spark._drpt_prev_result = None
             # replay the composed arbitration the first run decided
-            if _BAIL_CACHE.get(bk) == "dup":
+            cached = _BAIL_CACHE.get(bk)
+            if cached == "dup":
                 self._keep_rf_suppressed = True
+            elif cached == "cede":
+                self.last_cede = True  # plain bail path restores RF
+            elif cached == "cede_off":
+                self.last_cede = True
+                self._cede_ride_off = True
+                self._keep_rf_suppressed = True
+            if cached in ("cede", "cede_off"):
+                try:
+                    self.spark._drpt_last_cede = (
+                        "off" if cached == "cede_off" else "native")
+                except Exception:
+                    pass
             return None
         # correlated-scalar-subquery (DELIM) edges: the reference walks
         # LOGICAL_DELIM_JOIN as an edge source (rpt_optimizer.cpp:49-50)
@@ -532,14 +745,45 @@ class Engine:
         # reduce() releases the previous query's persists at entry; nulling
         # last_result here instead would leak them for the life of the
         # session (CacheManager plan pollution — see reduce()'s docstring)
+        def _cede(plan, dfs_, rows_est_, filtered_, rows_base_, nbr,
+                  opq, hp):
+            v, off = self._cede_verdict(query, cfg, plan, dfs_,
+                                        rows_est_, filtered_,
+                                        rows_base_, nbr, opq, hp)
+            self._cede_ride_off = off
+            return v
+
         red = self.reduce(rels, list(ext.edges) + virt_edges, cfg,
                           opaque=getattr(ext, "opaque", None),
-                          host_prefiltered=host_pre)
+                          host_prefiltered=host_pre,
+                          cede_check=_cede)
+        if getattr(self, "last_cede", False):
+            # cession (config.cede_covered_edges): the host's lazy
+            # blooms cover everything the ops would do — disengage.
+            # Plain return restores injection (ride native) unless the
+            # floor said the off plan is already minimal (ride off).
+            if self._cede_ride_off:
+                self._keep_rf_suppressed = True
+            try:
+                self.spark._drpt_last_cede = (
+                    "off" if self._cede_ride_off else "native")
+            except Exception:
+                pass
+            if len(_BAIL_CACHE) >= 512:
+                _BAIL_CACHE.pop(next(iter(_BAIL_CACHE)))
+            _BAIL_CACHE[bk] = ("cede_off" if self._cede_ride_off
+                               else "cede")
+            return None
         if self.last_result is None:
             if len(_BAIL_CACHE) >= 512:
                 _BAIL_CACHE.pop(next(iter(_BAIL_CACHE)))
             _BAIL_CACHE[bk] = True
             return None  # planner bailed (gates / <=1 edge)
+        if cfg.suppress_native_rf and not cfg.suppress_during_eager:
+            # A/B path (config.suppress_during_eager=False): the eager
+            # jobs above ran with injection live; suppress now so the
+            # final-plan arbitration semantics stay identical
+            self._sync_native_rf(engaged=True)
 
         # shadow each single-occurrence table whose relation the rewrite
         # actually reduced, re-analyze the same SQL against the shadows,
@@ -624,9 +868,14 @@ class Engine:
                     _BAIL_CACHE.pop(next(iter(_BAIL_CACHE)))
                 _BAIL_CACHE[bk] = "dup" if dup_bail else True
                 return None
-            if cfg.suppress_native_rf and cfg.compose_subtree_rf:
+            if (cfg.suppress_native_rf and cfg.compose_subtree_rf
+                    and "empty" not in self.last_result.applied_tiers):
                 # must run inside the shadow window: the evidence is
-                # the REWRITTEN plan's bloom edges (see the docstring)
+                # the REWRITTEN plan's bloom edges (see the docstring).
+                # An empty-build cascade skips the pass outright: the
+                # short-circuit leaves ~nothing for native to filter,
+                # and the ~0.3 s planning pass was the whole composed
+                # overhead on JOB jq24 (0.91 s vs rpt 0.33 s)
                 self._dual_rf = self._uncovered_rf_evidence(query, cfg)
             return self.spark.sql(query)
         finally:
@@ -637,8 +886,15 @@ class Engine:
     def reduce(self, rels: dict, edges: list,
                config: RPTConfig | None = None,
                opaque: set | None = None,
-               host_prefiltered: "set | None" = None) -> dict:
+               host_prefiltered: "set | None" = None,
+               cede_check=None) -> dict:
         """Apply robust predicate transfer; returns alias -> reduced DF.
+
+        ``cede_check`` (the SQL path's cession arbitration closure,
+        config.cede_covered_edges) is invoked after scheduling but
+        before ANY eager job, with the planned schedule and the same
+        evidence apply_transfer would get; returning True makes reduce
+        disengage — inputs returned untouched, ``self.last_cede`` set.
 
         Persisted build sides from the PREVIOUS reduce are released
         here: Spark's CacheManager substitutes any matching subplan
@@ -648,6 +904,7 @@ class Engine:
         persists live exactly until the next query plans.
         """
         cfg = (config or self.config).validate()
+        self.last_cede = False
         if self.last_result is not None:
             self.last_result.release()
             self.last_result = None
@@ -792,6 +1049,14 @@ class Engine:
             neighbor_edges.setdefault(e.right, []).append(
                 (e.left, tuple(e.right_cols)))
         degrees = {a: len(ns) for a, ns in neighbors.items()}
+
+        if cede_check is not None and cede_check(
+                plan, dfs, rows_est, filtered, rows_base,
+                neighbor_edges, opaque or set(), host_prefiltered):
+            # cession: hand the query to the host's native blooms —
+            # nothing eager has run yet, nothing to release
+            self.last_cede = True
+            return dfs
 
         res = apply_transfer(dfs, rows_est, filtered, plan, cfg,
                              probe_paths=paths, colocated=colocated,

@@ -223,7 +223,12 @@ def test_composed_dual_arbitration_by_bloom_coverage(spark):
     spark.conf.set(_CREATE, "8GB")
     base = dict(all_broadcast_bail_rows=0, skip_no_exchange_probe=False,
                 skip_host_prefiltered_semi=False,
-                require_selective_build=False)
+                require_selective_build=False,
+                # this test pins the ENGAGED path's per-edge dual; the
+                # r10 cession would (correctly) disengage the fully-
+                # covered scenario first — tested separately in
+                # test_cession_arbitration
+                cede_covered_edges=False)
     try:
         # covered: ops land on BOTH filtered edges -> blooms are pure
         # duplication -> suppression holds through the final run
@@ -268,6 +273,84 @@ def test_composed_dual_arbitration_by_bloom_coverage(spark):
         dual_df.collect()
         assert count_native_blooms(dual_df) > 0, \
             "dual leg executed without native blooms despite the flip"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(_ENABLED, "false")
+        spark.conf.unset(_APP)
+        spark.conf.unset(_CREATE)
+
+
+def test_cession_arbitration(spark):
+    """r10 cession (config.cede_covered_edges): when the ORIGINAL
+    plan's native blooms cover every candidate op edge, the engine
+    disengages BEFORE any eager job and hands the query to the host —
+    riding native when the shape-prior probe mass is real, riding OFF
+    (suppression kept) when the off plan's pushed filters already
+    leave nothing worth blooming (the jq1 floor). A query whose
+    candidates reach beyond the blooms stays engaged."""
+    from duckdb_robust_predicate_transfer_spark.config import RPTConfig
+    from duckdb_robust_predicate_transfer_spark.engine import Engine
+
+    sf = "/root/testdata/sf0.001"
+    covered_sql = """
+        SELECT COUNT(*) AS n
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
+    """
+    # orders carries no local filter -> no native bloom can exist on
+    # the orders->lineitem edge, but the reduced-orders op still
+    # applies (transfer reach native cannot express) -> no cession
+    reach_sql = """
+        SELECT COUNT(*) AS n
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+    """
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(_ENABLED, "true")
+    spark.conf.set(_APP, "1")
+    spark.conf.set(_CREATE, "8GB")
+    base = dict(min_probe_rows=0, all_broadcast_bail_rows=0,
+                skip_no_exchange_probe=False,
+                skip_host_prefiltered_semi=False)
+    try:
+        # floor: sf0.001 probe masses are tiny -> cede AND ride off
+        e = Engine(spark, sf, RPTConfig(**base))
+        e.sql(covered_sql)
+        assert e.last_cede and e._cede_ride_off, \
+            (e.last_cede, e._cede_ride_off)
+        assert not e.last_sql_rewritten
+        assert spark.conf.get(_ENABLED) == "false", "floor must ride off"
+        spark.conf.set(_ENABLED, "true")
+
+        # floor disabled -> cede and ride native (injection restored);
+        # exercise the bail-cache replay on the second pass
+        for attempt in ("first", "cached"):
+            e2 = Engine(spark, sf, RPTConfig(
+                **base, cede_suppress_max_probe_rows=0))
+            e2.sql(covered_sql)
+            assert e2.last_cede and not e2._cede_ride_off, attempt
+            assert not e2.last_sql_rewritten, attempt
+            assert spark.conf.get(_ENABLED) == "true", \
+                f"cession must restore injection ({attempt})"
+
+        # master switch off -> engaged as before
+        e3 = Engine(spark, sf, RPTConfig(**base, cede_covered_edges=False))
+        e3.sql(covered_sql)
+        assert not e3.last_cede and e3.last_sql_rewritten
+        spark.conf.set(_ENABLED, "true")
+
+        # uncovered reach -> no cession, engaged
+        e4 = Engine(spark, sf, RPTConfig(**base))
+        e4.sql(reach_sql)
+        assert not e4.last_cede, "reach beyond blooms must refuse cession"
+        assert e4.last_sql_rewritten
+        ops = {(o.build, o.probe) for o in e4.last_result.applied}
+        assert ("orders", "lineitem") in ops, ops
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set(_ENABLED, "false")

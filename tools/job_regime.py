@@ -510,6 +510,258 @@ QUERIES = {
         AND t_id IN (SELECT mk_tid FROM movie_keyword, keyword
                      WHERE mk_kwid = kw_id AND kw_word = 'sequel')
     """,
+    # -- r10 additions (VERDICT r9 #6: 33 -> ~60, weighting the
+    #    v3-native-favored jq3/jq25 class the cession arbitration
+    #    serves, plus mixed-key chains and more mark/anti/skew shapes)
+    # jq3-class fully-covered star: person prefix + country + year —
+    # every candidate edge one-hop bloomable (cession-eligible breadth)
+    "jq34": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, castinfo, person, movie_company, company
+      WHERE ci_tid = t_id AND ci_pid = p_id
+        AND mc_tid = t_id AND mc_coid = co_id
+        AND p_name LIKE 'Iota, %'
+        AND co_country = '[de]'
+        AND t_year BETWEEN 1985 AND 1995
+    """,
+    # jq25-class skew star: kind + country filters, movie_info arm
+    # reachable only via title blooms (cession vs skew)
+    "jq35": """
+      SELECT MIN(mi_info) AS min_info, COUNT(*) AS n
+      FROM title, movie_info, movie_company, company
+      WHERE mi_tid = t_id AND mc_tid = t_id AND mc_coid = co_id
+        AND co_country = '[us]'
+        AND t_kind IN ('kind_1', 'kind_6')
+        AND mi_info LIKE 'rating:%'
+    """,
+    # jq5-class engaged keeper: exact keyword + person substring — the
+    # castinfo arm is unreachable by native (title unfiltered)
+    "jq36": """
+      SELECT MIN(t_title) AS min_title, MIN(p_name) AS min_name,
+             COUNT(*) AS n
+      FROM title, castinfo, person, movie_keyword, keyword
+      WHERE ci_tid = t_id AND ci_pid = p_id
+        AND mk_tid = t_id AND mk_kwid = kw_id
+        AND kw_word = 'based-on-novel'
+        AND p_name LIKE '%Epsilon%'
+    """,
+    # strong keyword + weak country IN across three facts: gate 2g
+    # kills the weak arm, cession must weigh the remainder
+    "jq37": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_keyword, keyword, movie_company, company,
+           castinfo
+      WHERE mk_tid = t_id AND mk_kwid = kw_id
+        AND mc_tid = t_id AND mc_coid = co_id
+        AND ci_tid = t_id
+        AND kw_word = 'character-name-in-title'
+        AND co_country IN ('[us]', '[de]', '[fr]')
+    """,
+    # ALL-INTEGER chain: every edge on the _i twins — the string-key
+    # conditioning must refuse bitmap/rescue everywhere and the query
+    # rides broadcast semis or native (boundary breadth)
+    "jq38": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_keyword, movie_company, company
+      WHERE mk_tid_i = t_id_i AND mc_tid_i = t_id_i
+        AND mc_coid_i = co_id_i
+        AND co_name LIKE 'Warner %'
+        AND t_kind = 'kind_4'
+    """,
+    # alternating int/string 3-hop: company -(int)-> movie_company
+    # -(string)-> title -(int)-> movie_keyword
+    "jq39": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM company, movie_company, title, movie_keyword
+      WHERE mc_coid_i = co_id_i AND mc_tid = t_id
+        AND mk_tid_i = t_id_i
+        AND co_name LIKE 'Universal %'
+        AND t_year > 1990
+    """,
+    # mark subquery whose INNER side is the 100M-row fact: the mark
+    # cascade itself needs person->castinfo transfer
+    "jq40": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_company
+      WHERE mc_tid = t_id
+        AND t_id IN (SELECT ci_tid FROM castinfo, person
+                     WHERE ci_pid = p_id AND p_name = 'Alpha, Alpha')
+    """,
+    # anti arm via NOT EXISTS: titles with a cast but NO us-company
+    # entry — the anti join is opaque to the graph, must stay correct
+    "jq41": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, castinfo, person
+      WHERE ci_tid = t_id AND ci_pid = p_id
+        AND p_name LIKE 'Kappa, %'
+        AND t_year BETWEEN 2000 AND 2005
+        AND NOT EXISTS (SELECT 1 FROM movie_company, company
+                        WHERE mc_tid = t_id AND mc_coid = co_id
+                          AND co_country = '[us]')
+    """,
+    # two independent mark subqueries on one outer title
+    "jq42": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title
+      WHERE t_id IN (SELECT mk_tid FROM movie_keyword, keyword
+                     WHERE mk_kwid = kw_id AND kw_word = 'sequel')
+        AND t_id IN (SELECT mc_tid FROM movie_company, company
+                     WHERE mc_coid = co_id AND co_name LIKE 'Warner %')
+    """,
+    # skewed fact + exact keyword pincer (hot movie_info keys must
+    # survive the keyword reduction)
+    "jq43": """
+      SELECT MIN(mi_info) AS min_info, COUNT(*) AS n
+      FROM title, movie_info, movie_keyword, keyword
+      WHERE mi_tid = t_id AND mk_tid = t_id AND mk_kwid = kw_id
+        AND kw_word = 'based-on-novel'
+        AND mi_info LIKE 'runtime:%'
+    """,
+    # 4-relation chain selective at BOTH ends: person family + exact
+    # keyword meet across castinfo/title/movie_keyword
+    "jq44": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM person, castinfo, title, movie_keyword, keyword
+      WHERE ci_pid = p_id AND ci_tid = t_id
+        AND mk_tid = t_id AND mk_kwid = kw_id
+        AND p_name LIKE 'Sigma, %'
+        AND kw_word = 'character-name-in-title'
+    """,
+    # LEFT-preserved title with a selective INNER person arm: the
+    # outer keyword arm must never reduce title
+    "jq45": """
+      SELECT MIN(t_title) AS min_title, COUNT(kw_id) AS n_kw,
+             COUNT(*) AS n
+      FROM title
+      JOIN castinfo ON ci_tid = t_id
+      JOIN person ON ci_pid = p_id
+      LEFT JOIN movie_keyword ON mk_tid = t_id
+      LEFT JOIN keyword ON mk_kwid = kw_id AND kw_word = 'sequel'
+      WHERE p_name LIKE 'Omicron, %' AND t_year > 2010
+    """,
+    # no-dim star: three facts, filters ONLY on title — native blooms
+    # title into every fact; our mid-hops add nothing (cede-all class)
+    "jq46": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, castinfo, movie_keyword, movie_company
+      WHERE ci_tid = t_id AND mk_tid = t_id AND mc_tid = t_id
+        AND t_kind = 'kind_3' AND t_year BETWEEN 1998 AND 2002
+    """,
+    # weak country + skew + weak kind: everything 2g-killable, the
+    # engine must disengage cleanly (tie, never lose)
+    "jq47": """
+      SELECT MIN(mi_info) AS min_info, COUNT(*) AS n
+      FROM title, movie_info, movie_company, company
+      WHERE mi_tid = t_id AND mc_tid = t_id AND mc_coid = co_id
+        AND co_country IN ('[us]', '[de]')
+        AND t_year > 1960
+    """,
+    # fact-note equality drives everything (5% of movie_company), dims
+    # unfiltered: reduction must flow fact -> title -> movie_keyword
+    "jq48": """
+      SELECT MIN(t_title) AS min_title, MIN(kw_word) AS min_kw,
+             COUNT(*) AS n
+      FROM title, movie_company, movie_keyword, keyword
+      WHERE mc_tid = t_id AND mk_tid = t_id AND mk_kwid = kw_id
+        AND mc_note = '(as metro pictures)'
+        AND t_kind = 'kind_8'
+    """,
+    # role IN + keyword prefix + year window: three medium filters
+    "jq49": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, castinfo, movie_keyword, keyword
+      WHERE ci_tid = t_id AND mk_tid = t_id AND mk_kwid = kw_id
+        AND ci_role IN ('role_1', 'role_5')
+        AND kw_word LIKE 'beta-%'
+        AND t_year BETWEEN 1970 AND 1990
+    """,
+    # empty company build: the zero-row cascade must short-circuit two
+    # facts (jq24's shape through the company arm)
+    "jq50": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_company, company, movie_keyword
+      WHERE mc_tid = t_id AND mc_coid = co_id AND mk_tid = t_id
+        AND co_name LIKE 'Zzz No Such Company%'
+    """,
+    # the jq3 deep star with the castinfo edge on the INTEGER twin:
+    # conditioning refuses that rescue, cession must price the rest
+    "jq51": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, castinfo, person, movie_keyword, keyword,
+           movie_company, company
+      WHERE ci_tid_i = t_id_i AND ci_pid = p_id
+        AND mk_tid = t_id AND mk_kwid = kw_id
+        AND mc_tid = t_id AND mc_coid = co_id
+        AND kw_word = 'sequel'
+        AND co_country = '[de]'
+        AND p_name LIKE 'Delta, %'
+    """,
+    # mark subquery joined on the INTEGER twins end to end
+    "jq52": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_company
+      WHERE mc_tid_i = t_id_i
+        AND t_id_i IN (SELECT mk_tid_i FROM movie_keyword, keyword
+                       WHERE mk_kwid = kw_id
+                         AND kw_word = 'based-on-novel')
+        AND t_year < 1980
+    """,
+    # skew pincer with kind filter (jq20 variant): person arm +
+    # movie_info hot keys share title
+    "jq53": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, castinfo, person, movie_info
+      WHERE ci_tid = t_id AND ci_pid = p_id AND mi_tid = t_id
+        AND p_name LIKE 'Upsilon, %'
+        AND t_kind IN ('kind_2', 'kind_9')
+        AND mi_info LIKE 'rating:%'
+    """,
+    # jq1's floor class at a different note predicate: every relation
+    # selectively filtered, off plan already minimal — the cession
+    # floor should ride off, not native
+    "jq54": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, movie_company, company
+      WHERE mc_tid = t_id AND mc_coid = co_id
+        AND mc_note = '(presents) (co-production)'
+        AND co_country = '[fr]'
+        AND t_year BETWEEN 1960 AND 1970
+    """,
+    # weak title window + strong keyword over the skewed fact and
+    # movie_keyword: 2g kills the title op, keyword cascade rescues
+    "jq55": """
+      SELECT MIN(mi_info) AS min_info, COUNT(*) AS n
+      FROM title, movie_info, movie_keyword, keyword
+      WHERE mi_tid = t_id AND mk_tid = t_id AND mk_kwid = kw_id
+        AND kw_word = 'sequel'
+        AND t_year BETWEEN 1955 AND 2015
+    """,
+    # every dim weak (country IN / kw '%a%' / role IN-5): full
+    # disengage expected; any loss is pure overhead
+    "jq56": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, castinfo, movie_keyword, keyword, movie_company,
+           company
+      WHERE ci_tid = t_id AND mk_tid = t_id AND mk_kwid = kw_id
+        AND mc_tid = t_id AND mc_coid = co_id
+        AND co_country IN ('[us]', '[de]', '[fr]')
+        AND kw_word LIKE '%a%'
+        AND ci_role IN ('role_0', 'role_2', 'role_4', 'role_6',
+                        'role_8')
+    """,
+    # two strong prefix dims across three facts: the deep-winner class
+    # (jq10's shape, different constants)
+    "jq57": """
+      SELECT MIN(t_title) AS min_title, COUNT(*) AS n
+      FROM title, castinfo, person, movie_company, company,
+           movie_keyword
+      WHERE ci_tid = t_id AND ci_pid = p_id
+        AND mc_tid = t_id AND mc_coid = co_id
+        AND mk_tid = t_id
+        AND co_name LIKE 'Universal %'
+        AND p_name LIKE 'Rho, %'
+        AND t_year > 1975
+    """,
 }
 
 
@@ -595,6 +847,10 @@ def main() -> int:
     #: restored injection for the final run (per-query dual,
     #: config.compose_subtree_rf)
     composed_dual: dict = {}
+    #: per-query r10 cession verdict: "native" = disengaged and handed
+    #: to the host's blooms, "off" = disengaged with suppression kept
+    #: (the jq1 floor), None = no cession (engaged or ordinary bail)
+    composed_cede: dict = {}
 
     def leg(name: str, mode: str) -> float:
         if mode in ("rpt", "composed"):
@@ -610,6 +866,10 @@ def main() -> int:
             e.sql(QUERIES[name], auto_rpt=cfg.enabled).collect()
             if mode == "composed":
                 composed_dual[name] = bool(getattr(e, "_dual_rf", False))
+                composed_cede[name] = (
+                    ("off" if getattr(e, "_cede_ride_off", False)
+                     else "native")
+                    if getattr(e, "last_cede", False) else None)
             return time.time() - t
         finally:
             set_native_rf(spark, False)
@@ -658,6 +918,7 @@ def main() -> int:
         "rpt_ops": ops_inv,
         "composed_arbitration_suppressed": arb_suppressed,
         "composed_dual_rf": composed_dual,
+        "composed_cede": composed_cede,
         "native_blooms_injected": blooms,
         "geomean_sec": {m: geo(m) for m in MODES},
         "rpt_vs_off_geomean": _ratio(geo("off"), geo("rpt")),

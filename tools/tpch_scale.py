@@ -225,7 +225,18 @@ def main() -> int:
         try:
             t = time.time()
             QUERIES[name](spark, OUT_DIR).collect()
-            return time.time() - t
+            dt = time.time() - t
+            if mode == "composed":
+                # free engagement/cession capture off the session
+                # stashes (feeds the engaged-only geomeans) — works
+                # under DRPT_TPCH_SCALE_BLOOMS_FROM reuse too, where
+                # the blooms pass never runs
+                pr = getattr(spark, "_drpt_prev_result", None)
+                engaged[name] = bool(pr is not None and pr.applied)
+                c = getattr(spark, "_drpt_last_cede", None)
+                if c is not None or name not in cede:
+                    cede[name] = c
+            return dt
         finally:
             set_default_config(None)
             set_rf(False)
@@ -240,6 +251,8 @@ def main() -> int:
     # accepted for the plan evidence (ADVICE r4: the old "nothing
     # executed" comment was wrong for that mode)
     blooms: dict = {}
+    engaged: dict = {}
+    cede: dict = {}
     blooms_from = os.environ.get("DRPT_TPCH_SCALE_BLOOMS_FROM", "")
     if blooms_from:
         # plan evidence is timing-independent; a re-timing run (e.g.
@@ -247,7 +260,10 @@ def main() -> int:
         # artifact instead of paying the composed pass's eager transfer
         # jobs again (~45 min at x1000)
         with open(blooms_from) as fh:
-            blooms = json.load(fh).get("native_blooms_injected", {})
+            prior = json.load(fh)
+        blooms = prior.get("native_blooms_injected", {})
+        engaged = prior.get("rpt_engaged", {})
+        cede = prior.get("composed_cede", {})
     else:
         for q in TPCH:
             blooms[q] = {}
@@ -256,6 +272,15 @@ def main() -> int:
                 try:
                     blooms[q][mode] = count_native_blooms(
                         QUERIES[q](spark, OUT_DIR))
+                    if mode == "composed":
+                        # the query function built its Engine
+                        # internally; the session stashes carry
+                        # engagement (persisted TransferResult with
+                        # applied ops) and the r10 cession verdict
+                        pr = getattr(spark, "_drpt_prev_result", None)
+                        engaged[q] = bool(pr is not None and pr.applied)
+                        cede[q] = getattr(spark, "_drpt_last_cede",
+                                          None)
                 except Exception:
                     blooms[q][mode] = None
                 finally:
@@ -308,10 +333,11 @@ def main() -> int:
 
     ok_qs = [q for q in TPCH if q not in failed]
 
-    def geo(mode: str) -> float | None:
+    def geo(mode: str, subset=None) -> float | None:
         # legs that never completed show as inf — exclude them, and an
         # all-failed run must still write its artifact (ADVICE r4)
-        vals = [best[q][mode] for q in ok_qs
+        vals = [best[q][mode] for q in (ok_qs if subset is None
+                                        else subset)
                 if math.isfinite(best[q][mode])]
         if not vals:
             return None
@@ -334,6 +360,21 @@ def main() -> int:
         "rpt_vs_native_geomean": _ratio(geo("native"), geo("rpt")),
         "composed_vs_native_geomean": _ratio(geo("native"), geo("composed")),
         "composed_vs_off_geomean": _ratio(geo("off"), geo("composed")),
+        # engaged-only twins (VERDICT r9 #7): the full-22 composed
+        # headline wobbles +-5% on the no-op giants (Q12/Q18/Q19,
+        # plan-identical to off); the engaged-only geomean isolates
+        # what the engine actually does from that noise floor
+        "rpt_engaged": engaged,
+        "composed_cede": cede,
+        "geomean_engaged_only_sec": {
+            m: geo(m, [q for q in ok_qs if engaged.get(q)])
+            for m in MODES},
+        "rpt_vs_off_engaged_only": _ratio(
+            geo("off", [q for q in ok_qs if engaged.get(q)]),
+            geo("rpt", [q for q in ok_qs if engaged.get(q)])),
+        "composed_vs_off_engaged_only": _ratio(
+            geo("off", [q for q in ok_qs if engaged.get(q)]),
+            geo("composed", [q for q in ok_qs if engaged.get(q)])),
         "per_query_sec": {q: {m: (None if best[q][m] is math.inf
                                   else round(best[q][m], 3))
                               for m in MODES}
