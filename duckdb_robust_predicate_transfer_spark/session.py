@@ -41,6 +41,13 @@ def get_spark(app_name: str = "drpt-spark", master: str | None = None,
         # deterministic roundtrips through our own footer probing
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.ansi.enabled", "false")
+        # per-call origin capture for DataFrame error context costs THREE
+        # py4j round-trips per wrapped DataFrame API call (conf.get +
+        # PySparkCurrentOrigin.set/.clear) plus a Python stack walk — a
+        # wide query makes hundreds of such calls while being built, and
+        # the cost is per API call, not per row, so it never amortizes at
+        # any scale. Measured: q_star_join_rpt construction 0.119->0.055 s
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         # Arrow speeds toPandas/createDataFrame but the DRIVER'S harness
         # session leaves it off, so DRPT_ARROW=0 gives a driver-parity
         # session for the local gate (r4 regression: code green under
