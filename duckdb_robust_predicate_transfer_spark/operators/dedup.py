@@ -69,6 +69,8 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
     independent enough for banding). One narrow projection: no explode,
     no shuffle.
     """
+    from .layout import fan_out
+
     h1, h2 = HASHERS[hash_fn]
     acc0 = f"array_repeat(9223372036854775807L, {k})"
     sig = F.expr(
@@ -77,7 +79,13 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
         f"   transform(sequence(0, {k - 1}), i -> {h2('h', 'i')}),"
         f"   (a, v) -> least(a, v)))"
     )
-    return (df.select(F.col(id_col), word_shingles(text_col, n_shingle).alias("sh"))
+    # the k-way fold is interpreted per shingle (higher-order lambdas
+    # are not codegen'd) — by far the heaviest per-row stage in the
+    # pipeline; fan it out across cores when the scan layout cannot
+    # (narrow projection first: only (id, text) crosses the exchange)
+    narrow = fan_out(df.select(id_col, text_col))
+    return (narrow.select(F.col(id_col),
+                          word_shingles(text_col, n_shingle).alias("sh"))
             .select(id_col, sig.alias("sig")))
 
 
@@ -147,8 +155,12 @@ def simhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
     shuffle is 16 bytes/token with map-side partial aggregation, a
     price worth paying to stay inside codegen.
     """
+    from .layout import fan_out
+
     h1, _ = HASHERS[hash_fn]
-    toks = df.select(
+    # per-token hashing + the 64 partial vote sums run BELOW the first
+    # exchange — single-threaded when the scan is one row group
+    toks = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(F.expr(
             f"transform(split({text_col}, '\\\\s+', -1),"

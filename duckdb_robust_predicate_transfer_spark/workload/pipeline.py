@@ -1279,6 +1279,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 def _portable_minhash_pairs(e):
     """(doc_a < doc_b) candidate pairs via the md5-portable MinHash+LSH
     pipeline — shared by q_minhash_lsh_pairs and q_dedup_clusters."""
+    # NOTE: no fan_out here — the heavy stage (8 md5s per token row) runs
+    # AFTER the distinct's exchange, already parallel; fanning out the
+    # light explode stage was measured as a net loss (q_minhash_lsh_pairs
+    # 0.80 -> 1.64 s execute: one extra exchange per self-join side)
     w = (e.table("documents")
          .select("doc_id", F.split(F.col("text"), " ", -1).alias("arr"))
          .filter(F.size("arr") >= 3))
@@ -1552,7 +1556,9 @@ def q_simhash_pairs(spark, sf_dir):
     # it inside the 32 vote aggregates re-hashes every token row 32
     # times (Catalyst does not CSE across aggregate expressions) —
     # measured as ~5x of this query's sf0.1 runtime
-    tok = (e.table("documents")
+    from ..operators.layout import fan_out
+
+    tok = (fan_out(e.table("documents").select("doc_id", "text"))
            .select("doc_id",
                    F.explode(F.split("text", " ", -1)).alias("t"))
            .distinct()
@@ -1567,20 +1573,31 @@ def q_simhash_pairs(spark, sf_dir):
         "doc_id",
         F.concat(*[F.col(f"b{d}")
                    for d in range(1, _SH_BITS + 1)]).alias("fp"))
+    # fpi (fingerprint as integer) is computed ONCE PER BAND ROW, below
+    # the self-join: the candidate join fans out to ~6M pairs at sf0.1,
+    # and evaluating conv(fp, 2, 10) — a 32-char string parse — on the
+    # join OUTPUT paid it 2 x 6M times instead of 4 x |docs|, and
+    # shipped two 32-char strings per candidate pair through the join.
+    # The join now carries (doc_id, b, chunk, fpi) only.
     bands = (fp.select(
-        "doc_id", "fp",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"))
-        .withColumn("chunk",
-                    F.expr("substr(fp, b * 8 + 1, 8)")))
-    a, bb = bands.alias("a"), bands.alias("b")
+        "doc_id",
+        F.expr("cast(conv(fp, 2, 10) as bigint)").alias("fpi"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b"),
+        F.expr("fp").alias("_fp"))
+        .withColumn("chunk", F.expr("substr(_fp, b * 8 + 1, 8)"))
+        .drop("_fp"))
+    # the candidate join fans out ~300x (6M pairs from 20k band rows at
+    # sf0.1); AQE coalesces the tiny upstream shuffle to ONE partition,
+    # so without a probe-side fan_out the whole explosion runs in a
+    # single task (AQE prices shuffle bytes, not join fanout)
+    a, bb = fan_out(bands).alias("a"), bands.alias("b")
     # bit_count over the XOR of the fingerprints-as-integers, NOT a
-    # per-position higher-order lambda: the candidate join yields ~6M
-    # pairs at sf0.1 and filter(sequence(...), i -> substr(...)) runs
-    # interpreted per element (~130s); conv+xor+bit_count stays in
-    # codegen (~10s). Semantics identical to the oracle's positional
-    # count: both count differing bits of the same '0'/'1' string.
-    ham = F.expr(f"bit_count(cast(conv(a.fp, 2, 10) as bigint)"
-                 f" ^ cast(conv(b.fp, 2, 10) as bigint))")
+    # per-position higher-order lambda: filter(sequence(...), i ->
+    # substr(...)) runs interpreted per element (~130s at sf0.1);
+    # xor+bit_count stays in codegen. Semantics identical to the
+    # oracle's positional count: both count differing bits of the same
+    # '0'/'1' string.
+    ham = F.expr("bit_count(a.fpi ^ b.fpi)")
     return (a.join(bb, (F.col("a.b") == F.col("b.b"))
                    & (F.col("a.chunk") == F.col("b.chunk"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
