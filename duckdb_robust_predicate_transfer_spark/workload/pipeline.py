@@ -2068,7 +2068,11 @@ def q_skew_salted_join(spark, sf_dir):
     l, o = e.table("lineitem"), e.table("orders")
     hot = detect_hot_keys(l, "l_orderkey", top_n=5, min_share=0.0005,
                           sample_fraction=0.05)
-    j = salted_join(l, o.select("o_orderkey", "o_orderpriority"),
+    # project the probe to the two columns the aggregate reads BEFORE
+    # the salted join: the salt projection is opaque width the join
+    # would otherwise carry for all 16 lineitem columns
+    j = salted_join(l.select("l_orderkey", "l_quantity"),
+                    o.select("o_orderkey", "o_orderpriority"),
                     "l_orderkey", "o_orderkey",
                     hot_keys=hot or None, n_salts=8)
     return (j.groupBy("o_orderpriority")
