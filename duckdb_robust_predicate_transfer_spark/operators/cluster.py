@@ -58,9 +58,14 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
         nbr = (und.join(labels, und.dst == labels.node)
                .select(F.col("src").alias("node"),
                        F.col("label").alias("nbr_label")))
+        # labels is unique per node, so min("label") IS the old label —
+        # carrying it through the agg lets the convergence check below
+        # run as a plain scan of the checkpointed result instead of a
+        # second shuffle join against the previous round
         new = (labels.join(nbr, "node", "left")
                .groupBy("node")
-               .agg(F.least(F.min("label"), F.min("nbr_label"))
+               .agg(F.min("label").alias("old_label"),
+                    F.least(F.min("label"), F.min("nbr_label"))
                     .alias("label")))
         if pointer_jump:
             # label-chain contraction: node takes its label's label
@@ -69,17 +74,15 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
             parent = new.select(F.col("node").alias("p_node"),
                                 F.col("label").alias("p_label"))
             new = (new.join(parent, new.label == parent.p_node, "left")
-                   .select(F.col("node"),
+                   .select(F.col("node"), F.col("old_label"),
                            F.least(F.col("label"),
                                    F.coalesce(F.col("p_label"),
                                               F.col("label")))
                            .alias("label")))
         new = new.localCheckpoint(eager=True)
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.label") != F.col("o.label"))
+        changed = (new.filter(F.col("label") != F.col("old_label"))
                    .count())
-        labels = new
+        labels = new.select("node", "label")
         if changed == 0:
             break
     return labels

@@ -153,21 +153,68 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
                 GroupStateTimeout.EventTimeTimeout))
 
 
-def run_to_memory(df: DataFrame, name: str, timeout_s: int = 120):
+def adaptive_state_partitions(spark: SparkSession, src_dir: str,
+                              glob: str = "*.parquet") -> int:
+    """Stateful-shuffle partition count for a one-shot availableNow run,
+    derived from the source's input BYTES — never from the core count.
+    Every state partition pays, per micro-batch, a fixed state-store
+    open/commit/snapshot plus (for pandas state ops) a Python-worker
+    round trip; at a 2 MB drop zone those fixed costs dwarf the work, so
+    partitions are capped so each holds >= ~256 KB of input (floor 4 —
+    one partition serializes the pandas work and measures 2x worse).
+    Any production-sized input clears the session's configured value
+    unchanged, so nothing here is tuned to local mode."""
+    import glob as _glob
+    import os
+
+    conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        total = sum(os.path.getsize(f)
+                    for f in _glob.glob(os.path.join(src_dir, glob)))
+    except OSError:
+        return conf
+    if total <= 0:
+        return conf
+    need = max(4, -(-total // (256 << 10)))
+    return min(conf, need)
+
+
+def run_to_memory(df: DataFrame, name: str, timeout_s: int = 120,
+                  state_partitions: "int | None" = None):
     """Execute a streaming query with the availableNow trigger into an
-    in-memory sink and return the result table (batch-equivalent run)."""
-    q = (df.writeStream.format("memory").queryName(name)
-         .outputMode("append" if df.isStreaming else "append")
-         .trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
-    return df.sparkSession.table(name)
+    in-memory sink and return the result table (batch-equivalent run).
+    ``state_partitions`` (see ``adaptive_state_partitions``) pins the
+    run's stateful-shuffle width; the session conf is restored after the
+    run terminates (a stream pins its shuffle width at start)."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(int(state_partitions)))
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode("append" if df.isStreaming else "append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
 
 
-def run_complete_to_memory(df: DataFrame, name: str, timeout_s: int = 120):
-    q = (df.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(timeout_s)
-    return df.sparkSession.table(name)
+def run_complete_to_memory(df: DataFrame, name: str, timeout_s: int = 120,
+                           state_partitions: "int | None" = None):
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions",
+                           str(int(state_partitions)))
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(timeout_s)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(name)
 
 
 def dedup_stream(events: DataFrame, keys: list | None = None,

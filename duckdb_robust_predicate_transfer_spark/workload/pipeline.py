@@ -697,7 +697,8 @@ def q_stream_sessionize(spark, sf_dir):
     from datetime import timedelta
 
     from ..catalog import get_catalog
-    from ..streaming.ops import (read_event_stream, run_to_memory,
+    from ..streaming.ops import (adaptive_state_partitions,
+                                 read_event_stream, run_to_memory,
                                  sessionize_stream)
 
     ev = get_catalog(spark, sf_dir).table("events")
@@ -718,15 +719,28 @@ def q_stream_sessionize(spark, sf_dir):
                    os.path.join(sdir, f"{name}.parquet"))
 
     _drop(ev, "b0")
-    _drop(spark.createDataFrame([(-1, far_future, -1, "view", 0.0, "{}")],
-                                ev.schema), "b1")
+    _drop(_one_row_df(spark, ev.schema,
+                      (-1, far_future, -1, "view", 0.0, "{}")), "b1")
     stream = read_event_stream(spark, sdir, glob="b*.parquet")
     got = run_to_memory(sessionize_stream(stream), f"sessions_{tag}",
-                        timeout_s=300)
+                        timeout_s=300,
+                        state_partitions=adaptive_state_partitions(
+                            spark, sdir, "b*.parquet"))
     # the memory sink holds the rows; the drop-zone files are disposable
     import shutil
     shutil.rmtree(sdir, ignore_errors=True)
     return got.filter(F.col("user_id") >= 0)
+
+
+def _one_row_df(spark, schema, values):
+    """One-row DataFrame built entirely JVM-side. ``createDataFrame`` on
+    local data makes a defaultParallelism-slice Python RDD, and a
+    ``coalesce(1)`` write then serializes every slice's Python-worker
+    round-trip into ONE task (~5 s measured at local[32]);
+    ``range(1)`` + literals never leaves the JVM (~0.1 s)."""
+    cols = [F.lit(v).cast(f.dataType).alias(f.name)
+            for f, v in zip(schema.fields, values)]
+    return spark.range(1).select(*cols)
 
 
 def _stream_drop_zone(dfs: dict) -> tuple:
@@ -774,14 +788,17 @@ def q_stream_windowed_counts(spark, sf_dir):
     import shutil
 
     from ..catalog import get_catalog
-    from ..streaming.ops import (read_event_stream, run_complete_to_memory,
+    from ..streaming.ops import (adaptive_state_partitions,
+                                 read_event_stream, run_complete_to_memory,
                                  windowed_event_counts)
 
     ev = get_catalog(spark, sf_dir).table("events")
     sdir, tag = _stream_drop_zone({"b0": ev})
     stream = read_event_stream(spark, sdir, glob="b*.parquet")
     got = run_complete_to_memory(windowed_event_counts(stream),
-                                 f"wincounts_{tag}", timeout_s=300)
+                                 f"wincounts_{tag}", timeout_s=300,
+                                 state_partitions=adaptive_state_partitions(
+                                     spark, sdir, "b*.parquet"))
     shutil.rmtree(sdir, ignore_errors=True)
     return got
 
@@ -885,8 +902,8 @@ def q_stream_asof(spark, sf_dir):
     from datetime import timedelta
 
     from ..catalog import get_catalog
-    from ..streaming.ops import (asof_stream, read_event_stream,
-                                 run_to_memory)
+    from ..streaming.ops import (adaptive_state_partitions, asof_stream,
+                                 read_event_stream, run_to_memory)
 
     raw = get_catalog(spark, sf_dir).table("events")
     qs = (raw.select(F.unix_micros("ts").alias("us"))
@@ -897,8 +914,8 @@ def q_stream_asof(spark, sf_dir):
              raw.filter(us > qs[1])]
     far_future = (raw.agg(F.max("ts")).collect()[0][0]
                   + timedelta(days=11))
-    sentinel = spark.createDataFrame(
-        [(-1, far_future, -1, "view", 0.0, "{}")], raw.schema)
+    sentinel = _one_row_df(spark, raw.schema,
+                           (-1, far_future, -1, "view", 0.0, "{}"))
     sdir, tag = _stream_drop_zone(
         {f"b{i}": p for i, p in enumerate(parts + [sentinel])})
     # mtime order = arrival order: the reader takes files oldest-first
@@ -906,7 +923,9 @@ def q_stream_asof(spark, sf_dir):
         f = os.path.join(sdir, f"b{i}.parquet")
         os.utime(f, (1_000_000 + i, 1_000_000 + i))
     stream = read_event_stream(spark, sdir, glob="b*.parquet")
-    got = run_to_memory(asof_stream(stream), f"asof_{tag}", timeout_s=300)
+    got = run_to_memory(asof_stream(stream), f"asof_{tag}", timeout_s=300,
+                        state_partitions=adaptive_state_partitions(
+                            spark, sdir, "b*.parquet"))
     out = (got.filter(F.col("user_id") >= 0)
            .select("event_id", "user_id", "purchase_ts", "purchase_value"))
     out = out.localCheckpoint(eager=True)  # sink table outlives cleanup
@@ -929,14 +948,17 @@ def q_stream_dedup(spark, sf_dir):
     import shutil
 
     from ..catalog import get_catalog
-    from ..streaming.ops import dedup_stream, read_event_stream, run_to_memory
+    from ..streaming.ops import (adaptive_state_partitions, dedup_stream,
+                                 read_event_stream, run_to_memory)
 
     ev = get_catalog(spark, sf_dir).table("events")
     sdir, tag = _stream_drop_zone({"b0": ev})
     stream = read_event_stream(spark, sdir, glob="b*.parquet")
     deduped = dedup_stream(stream, keys=["user_id", "event_type"])
     got = run_to_memory(deduped.select("user_id", "event_type"),
-                        f"dedup_{tag}", timeout_s=300)
+                        f"dedup_{tag}", timeout_s=300,
+                        state_partitions=adaptive_state_partitions(
+                            spark, sdir, "b*.parquet"))
     shutil.rmtree(sdir, ignore_errors=True)
     return got
 
@@ -968,7 +990,8 @@ def q_stream_curated_ingest(spark, sf_dir):
     import shutil
 
     from ..catalog import get_catalog
-    from ..streaming.ops import curated_doc_stream, run_to_memory
+    from ..streaming.ops import (adaptive_state_partitions,
+                                 curated_doc_stream, run_to_memory)
 
     docs = (get_catalog(spark, sf_dir).table("documents")
             .withColumn("ingest_ts",
@@ -982,7 +1005,9 @@ def q_stream_curated_ingest(spark, sf_dir):
               .parquet(sdir))
     curated = curated_doc_stream(stream, ts_col="ingest_ts")
     got = run_to_memory(curated.select("content_h"),
-                        f"curated_{tag}", timeout_s=300)
+                        f"curated_{tag}", timeout_s=300,
+                        state_partitions=adaptive_state_partitions(
+                            spark, sdir, "b*.parquet"))
     shutil.rmtree(sdir, ignore_errors=True)
     return got
 
@@ -1011,14 +1036,17 @@ def q_stream_conversions(spark, sf_dir):
     import shutil
 
     from ..catalog import get_catalog
-    from ..streaming.ops import (read_event_stream, run_to_memory,
+    from ..streaming.ops import (adaptive_state_partitions,
+                                 read_event_stream, run_to_memory,
                                  stream_stream_conversions)
 
     ev = get_catalog(spark, sf_dir).table("events")
     sdir, tag = _stream_drop_zone({"b0": ev})
     stream = read_event_stream(spark, sdir, glob="b*.parquet")
     got = run_to_memory(stream_stream_conversions(stream),
-                        f"conversions_{tag}", timeout_s=300)
+                        f"conversions_{tag}", timeout_s=300,
+                        state_partitions=adaptive_state_partitions(
+                            spark, sdir, "b*.parquet"))
     shutil.rmtree(sdir, ignore_errors=True)
     return got
 
