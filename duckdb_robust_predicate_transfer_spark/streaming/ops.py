@@ -112,13 +112,21 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
     gap_ms = gap_minutes * 60 * 1_000
 
     def _emit(rows):
+        import numpy as np
         import pandas as pd
 
+        n = len(rows)
         return pd.DataFrame(
-            {"user_id": [c[0] for c in rows],
-             "session_start": pd.to_datetime([c[1] for c in rows], unit="us"),
-             "session_end": pd.to_datetime([c[2] for c in rows], unit="us"),
-             "n_events": [c[3] for c in rows]})
+            {"user_id": np.fromiter((c[0] for c in rows),
+                                    dtype="int64", count=n),
+             "session_start": np.fromiter((c[1] for c in rows),
+                                          dtype="int64",
+                                          count=n).view("M8[us]"),
+             "session_end": np.fromiter((c[2] for c in rows),
+                                        dtype="int64",
+                                        count=n).view("M8[us]"),
+             "n_events": np.fromiter((c[3] for c in rows),
+                                     dtype="int64", count=n)})
 
     def fn(key, pdf_iter, state: GroupState):
         if state.hasTimedOut:
@@ -134,7 +142,10 @@ def sessionize_stream(events: DataFrame, gap_minutes: int = 30,
             n = 0
         closed = []
         for pdf in pdf_iter:
-            for t in sorted(pdf["ts"].astype("int64") // 1000):
+            import numpy as np
+
+            for t in np.sort(pdf["ts"].to_numpy()
+                             .astype("int64") // 1000).tolist():
                 if start_us < 0:
                     start_us, last_us, n = t, t, 1
                 elif t - last_us > gap_us:
@@ -335,6 +346,7 @@ def asof_stream(events: DataFrame, watermark: str = "1 minute",
                                              GroupStateTimeout)
 
     def fn(key, pdf_iter, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         if state.exists:
@@ -348,15 +360,16 @@ def asof_stream(events: DataFrame, watermark: str = "1 minute",
         for pdf in pdf_iter:
             if not len(pdf):
                 continue
-            t_us = pdf["ts"].astype("int64") // 1000
-            for t, et, eid, val in zip(t_us, pdf["event_type"],
-                                       pdf["event_id"], pdf["value"]):
-                if et == ref_type:
-                    ref_ts.append(int(t))
-                    ref_val.append(float(val))
-                elif et == probe_type:
-                    probe_ts.append(int(t))
-                    probe_id.append(int(eid))
+            # vectorized ref/probe split — this fn runs once per user
+            # per micro-batch, so per-call constants dominate the op
+            t_us = pdf["ts"].to_numpy().astype("int64") // 1000
+            et = pdf["event_type"].to_numpy()
+            rmask = et == ref_type
+            pmask = et == probe_type
+            ref_ts.extend(map(int, t_us[rmask]))
+            ref_val.extend(map(float, pdf["value"].to_numpy()[rmask]))
+            probe_ts.extend(map(int, t_us[pmask]))
+            probe_id.extend(map(int, pdf["event_id"].to_numpy()[pmask]))
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         out, keep_ts, keep_id = [], [], []
@@ -386,13 +399,20 @@ def asof_stream(events: DataFrame, watermark: str = "1 minute",
             # wake once more to collapse the remaining refs to O(1)
             state.setTimeoutTimestamp(max(keep_rts) // 1000 + 1)
         if out:
+            n = len(out)
+            nat = np.iinfo("int64").min  # int64-min view == NaT
             yield pd.DataFrame(
-                {"event_id": [o[0] for o in out],
-                 "user_id": [o[1] for o in out],
-                 "ts": pd.to_datetime([o[2] for o in out], unit="us"),
-                 "purchase_ts": pd.to_datetime(
-                     [o[3] for o in out], unit="us"),
-                 "purchase_value": [o[4] for o in out]})
+                {"event_id": np.fromiter((o[0] for o in out),
+                                         dtype="int64", count=n),
+                 "user_id": np.full(n, key[0], dtype="int64"),
+                 "ts": np.fromiter((o[2] for o in out),
+                                   dtype="int64", count=n).view("M8[us]"),
+                 "purchase_ts": np.fromiter(
+                     (nat if o[3] is None else o[3] for o in out),
+                     dtype="int64", count=n).view("M8[us]"),
+                 "purchase_value": np.array(
+                     [np.nan if o[4] is None else o[4] for o in out],
+                     dtype="float64")})
 
     return (events.withWatermark("ts", watermark)
             .groupBy("user_id").applyInPandasWithState(

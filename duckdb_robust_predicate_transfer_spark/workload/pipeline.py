@@ -906,18 +906,40 @@ def q_stream_asof(spark, sf_dir):
                                  read_event_stream, run_to_memory)
 
     raw = get_catalog(spark, sf_dir).table("events")
-    qs = (raw.select(F.unix_micros("ts").alias("us"))
-          .approxQuantile("us", [0.33, 0.66], 0.0))
+    # One agg job yields the split points AND the sentinel timestamp.
+    # The asof output is invariant to WHERE the ts-range cuts fall (any
+    # range partition keeps batches time-ordered, and the sentinel
+    # flushes all buffered state), so equal-width cuts from min/max
+    # replace the exact-quantile job (which cost ~2.4 s at sf0.1).
     us = F.unix_micros("ts")
-    parts = [raw.filter(us <= qs[0]),
-             raw.filter((us > qs[0]) & (us <= qs[1])),
-             raw.filter(us > qs[1])]
-    far_future = (raw.agg(F.max("ts")).collect()[0][0]
-                  + timedelta(days=11))
+    lo, hi, mx = raw.agg(F.min(us), F.max(us), F.max("ts")).collect()[0]
+    qs = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    far_future = mx + timedelta(days=11)
     sentinel = _one_row_df(spark, raw.schema,
                            (-1, far_future, -1, "view", 0.0, "{}"))
-    sdir, tag = _stream_drop_zone(
-        {f"b{i}": p for i, p in enumerate(parts + [sentinel])})
+    sdir, tag = _stream_drop_zone({"b3": sentinel})
+    # Single-pass range split: one partitioned write replaces three
+    # filtered scans of the fixture (the partition column lives only in
+    # the directory name, so each leaf file keeps the event schema).
+    tmp = os.path.join(sdir, "_tmp_ranges")
+    (raw.withColumn("_b", F.when(us <= qs[0], 0)
+                    .when(us <= qs[1], 1).otherwise(2))
+     .coalesce(1).write.mode("overwrite").partitionBy("_b").parquet(tmp))
+    for i in range(3):
+        d = os.path.join(tmp, f"_b={i}")
+        if os.path.isdir(d):
+            part = next(f for f in os.listdir(d)
+                        if f.endswith(".parquet"))
+            os.replace(os.path.join(d, part),
+                       os.path.join(sdir, f"b{i}.parquet"))
+        else:  # empty ts-range bucket: keep the 4-file arrival order
+            empty = os.path.join(sdir, "_tmp_empty")
+            raw.filter(F.lit(False)).coalesce(1).write \
+                .mode("overwrite").parquet(empty)
+            part = next(f for f in os.listdir(empty)
+                        if f.endswith(".parquet"))
+            os.replace(os.path.join(empty, part),
+                       os.path.join(sdir, f"b{i}.parquet"))
     # mtime order = arrival order: the reader takes files oldest-first
     for i in range(4):
         f = os.path.join(sdir, f"b{i}.parquet")
