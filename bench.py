@@ -36,6 +36,21 @@ HEADLINE = [
     "q_events_sessionize",
 ]
 
+# ADDED entries (r11): the heavy operator paths optimized in the r10/r11
+# rounds, timed with the exact same min-of-N noop protocol so their wins
+# are driver-visible. They land in the output "queries" dict but NOT in
+# the headline geomean/total — "value" stays a geomean over the original
+# 13 queries, so round-over-round comparisons remain like-for-like
+# (additions-only, per the harness contract; nothing removed or renamed).
+EXTRA = [
+    "q_dedup_minhash",
+    "q_simhash_pairs",
+    "q_dedup_clusters",
+    "q_ann_ivf_topk",
+    "q_stream_sessionize",
+    "q_stream_asof",
+]
+
 
 def force(df):
     df.write.format("noop").mode("overwrite").save()
@@ -93,6 +108,26 @@ def main():
         # hit instead of the real plan) — each query times independently,
         # like the reference's fresh-process-per-query protocol
         spark.catalog.clearCache()
+
+    # ADDED entries: same protocol (min-of-N, noop sink, per-query fault
+    # isolation), kept OUT of the headline geomean (see EXTRA above)
+    extra_times: dict[str, float | None] = {}
+    if os.environ.get("BENCH_EXTRA", "1") != "0":
+        for name in EXTRA:
+            fn = QUERIES[name]
+            best = math.inf
+            try:
+                for _ in range(runs):
+                    t0 = time.time()
+                    force(fn(spark, sf_dir))
+                    best = min(best, time.time() - t0)
+                extra_times[name] = round(best, 3)
+                print(f"# {name}: {extra_times[name]}s",
+                      file=sys.stderr, flush=True)
+            except Exception as exc:  # noqa: BLE001
+                extra_times[name] = None
+                _err_line(name, exc)
+            spark.catalog.clearCache()
 
     extra = {}
     if os.environ.get("BENCH_ABLATION", "1") != "0":
@@ -173,6 +208,8 @@ def main():
         _err_line("cascade", exc)
         extra["cascade"] = {"error": str(exc).splitlines()[0][:200]}
 
+    # geomean/total over the ORIGINAL headline set only — the added
+    # EXTRA entries must not shift the round-over-round headline metric
     timed = [t for t in times.values() if t is not None]
     geomean = (math.exp(sum(math.log(max(t, 1e-3)) for t in timed)
                         / len(timed)) if timed else None)
@@ -181,10 +218,11 @@ def main():
         "metric": "geomean_headline_query_sec",
         "value": round(geomean, 3) if geomean is not None else None,
         "unit": "sec",
-        "queries": times,
+        "queries": {**times, **extra_times},
         "sf": float(sf) if sf else sf_dir,
         "total_sec": round(sum(timed), 3),
-        "failed_queries": sorted(k for k, v in times.items() if v is None),
+        "failed_queries": sorted(
+            k for k, v in {**times, **extra_times}.items() if v is None),
         **extra,
     }
     print(json.dumps(out), flush=True)

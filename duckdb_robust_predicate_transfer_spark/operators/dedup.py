@@ -66,8 +66,10 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str = "text",
     over the shingle array. Versus hashing the string k times in k
     separate folds this is ~10x cheaper at corpus scale while keeping
     the same min-wise LSH guarantees (the derived family is pairwise
-    independent enough for banding). One narrow projection: no explode,
-    no shuffle.
+    independent enough for banding). One narrow projection, no explode;
+    the only possible exchange is ``fan_out``'s conditional round-robin
+    repartition of (id, text) when the scan layout cannot fill the
+    session's parallelism (a no-op on any at-scale input).
     """
     from .layout import fan_out
 

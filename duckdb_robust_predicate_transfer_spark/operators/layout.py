@@ -27,7 +27,7 @@ the exchange).
 from __future__ import annotations
 
 import os
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 
@@ -61,9 +61,15 @@ def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
         files = df.inputFiles()
         if not files:
             return df
+        # many small files already yield >= par scan tasks (each file is
+        # at least one split) — no exchange needed
+        if len(files) >= par:
+            return df
         total = 0
         for f in files:
-            p = urlparse(f).path or f
+            # inputFiles() returns percent-encoded file URIs; unquote so
+            # paths with spaces/special chars stat instead of raising
+            p = unquote(urlparse(f).path) or f
             total += os.path.getsize(p)
         if total >= par * _max_partition_bytes(spark):
             return df

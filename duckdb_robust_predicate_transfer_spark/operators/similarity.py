@@ -259,6 +259,10 @@ def _centroid_argmax_expr(cent_rows, max_terms: int = 65536) -> "str | None":
     dim = len(cent_rows[0].cd)
     if len(cent_rows) * dim > max_terms:
         return None
+    # repr(nan/inf) would render invalid SQL ('nanD'); the fold-based
+    # fallback handles non-finite centroids natively
+    if not all(math.isfinite(x) for r in cent_rows for x in r.cd):
+        return None
     structs = []
     for r in cent_rows:
         w = list(r.cd)
@@ -443,12 +447,27 @@ def ivf_train_centroids(corpus: DataFrame, id_col: str = "vec_id",
     return cents
 
 
-def _literal_centroids_df(spark, cent_rows):
+def _literal_centroids_df(spark, cent_rows, max_terms: int = 65536):
     """The collected quantizer (bounded: K x dim doubles) as a literal
     16-rowish DataFrame built entirely JVM-side — replaces the in-plan
     scan + sort-limit + broadcast subplan that re-derives the same rows
     on every execution. Float repr round-trips exactly, so the values
-    are bit-identical to the collected ones."""
+    are bit-identical to the collected ones.
+
+    Returns None (caller keeps the in-plan cents DataFrame) when any
+    value is non-finite — ``repr(nan)`` would render invalid SQL like
+    ``nanD`` — or when K x dim exceeds ``max_terms``, the same bound
+    ``_centroid_argmax_expr`` applies, so an oversized quantizer can
+    never build a multi-MB SQL string."""
+    import math
+
+    if not cent_rows:
+        return None
+    dim = len(cent_rows[0].cd)
+    if len(cent_rows) * dim > max_terms:
+        return None
+    if not all(math.isfinite(x) for r in cent_rows for x in r.cd):
+        return None
     structs = ", ".join(
         "struct({0}L as centroid_id, array({1}) as cd)".format(
             int(r.centroid_id),
@@ -559,8 +578,10 @@ def ivf_topk_batch(corpus: DataFrame, queries: DataFrame,
         # and the assignment argmax reuses the same rows without a
         # second job
         cent_rows = cents.select("centroid_id", "cd").collect()
-        if cent_rows:
-            cents = _literal_centroids_df(corpus.sparkSession, cent_rows)
+        lit = (_literal_centroids_df(corpus.sparkSession, cent_rows)
+               if cent_rows else None)
+        if lit is not None:
+            cents = lit
     qd = queries.select(F.col(qid_col).alias("__qid"),
                         as_double(qvec_col).alias("qd"))
     wq = Window.partitionBy("__qid").orderBy(

@@ -196,7 +196,14 @@ def run_to_memory(df: DataFrame, name: str, timeout_s: int = 120,
     in-memory sink and return the result table (batch-equivalent run).
     ``state_partitions`` (see ``adaptive_state_partitions``) pins the
     run's stateful-shuffle width; the session conf is restored after the
-    run terminates (a stream pins its shuffle width at start)."""
+    run terminates (a stream pins its shuffle width at start).
+
+    NOTE: the override temporarily mutates the session-global
+    ``spark.sql.shuffle.partitions`` — sound because the harness runs
+    queries SEQUENTIALLY; a query planned concurrently in the same
+    session during the stream run would silently pick up the reduced
+    width. Scope the override via a session clone if concurrent use
+    ever becomes possible."""
     spark = df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
     try:

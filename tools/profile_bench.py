@@ -2,12 +2,13 @@
 
 For every headline query: time the CONSTRUCTION (Python planning +
 the engine's eager transfer jobs) separately from the EXECUTION (noop
-sink), min-of-N each, and dump `.explain("formatted")` to
-plans/r10/<name>_<tag>.txt. Prints one JSON line per query plus a
+sink), independent min-of-N each, and dump `.explain("formatted")` to
+plans/<round>/<name>_<tag>.txt. Prints one JSON line per query plus a
 summary, so before/after diffs are mechanical.
 
 Usage:
-  python -u tools/profile_bench.py [--tag before] [--runs 3] [q_name ...]
+  python -u tools/profile_bench.py [--tag before] [--runs 3]
+      [--plans-dir r11] [q_name ...]
 """
 
 from __future__ import annotations
@@ -30,6 +31,8 @@ def main() -> None:
     ap.add_argument("--sf-dir",
                     default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                            "/root/testdata/sf0.1"))
+    ap.add_argument("--plans-dir", default="r10",
+                    help="subdirectory of plans/ for the explain dumps")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -40,7 +43,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r10")
+        os.path.abspath(__file__))), "plans", args.plans_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     names = args.names or HEADLINE
@@ -55,13 +58,10 @@ def main() -> None:
     for name in names:
         fn = QUERIES[name]
         best_c = best_e = float("inf")
-        jobs_c = jobs_e = 0
         df = None
         try:
             for _ in range(args.runs):
                 sc.setJobDescription(f"{name}: construct")
-                j0 = sc.statusTracker().getJobIdsForGroup() or []
-                nj0 = len(sc.statusTracker().getActiveJobsIds() or [])
                 t0 = time.time()
                 df = fn(spark, args.sf_dir)
                 dt_c = time.time() - t0
@@ -70,8 +70,8 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 dt_e = time.time() - t0
                 sc.setJobDescription(None)
-                if dt_c + dt_e < best_c + best_e:
-                    best_c, best_e = dt_c, dt_e
+                best_c = min(best_c, dt_c)
+                best_e = min(best_e, dt_e)
                 spark.catalog.clearCache()
             # plan dump from the last constructed df (what
             # df.explain("formatted") prints, captured as a string)
