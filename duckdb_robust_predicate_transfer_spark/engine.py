@@ -100,6 +100,17 @@ _DUAL_RF_CACHE: dict = {}
 #: novel statement
 _ORIG_RF_CACHE: dict = {}
 
+#: (statement cache key, rf-threshold confs, footer-row stats, filtered
+#: aliases, cede config knobs) -> (cede, ride_off): the arbitration
+#: VERDICT itself. plan_candidates' job-free dry run of the gate stack
+#: is pure Python but still cost 20-40 ms per call on the widest
+#: flagship queries (r11 pricing: 15-19% of their construction), and
+#: its inputs are all deterministic functions of the key — the footer
+#: row estimates join the key so a fixture change invalidates the
+#: entry (same rationale as the catalog's path+mtime+size-keyed
+#: footer cache: metadata keying, not result caching).
+_CEDE_CACHE: dict = {}
+
 
 import re as _re
 
@@ -433,6 +444,46 @@ class Engine:
             return False, False
         if getattr(self.spark, "_drpt_rf_stash", None) != "true":
             return False, False
+        # verdict cache (_CEDE_CACHE): every input below is a
+        # deterministic function of (statement, planner confs, footer
+        # stats, config) — skip the per-call dry run on repeats
+        vk = None
+        try:
+            rf_confs = []
+            for k in ("spark.sql.optimizer.runtime.bloomFilter."
+                      "applicationSideScanSizeThreshold",
+                      "spark.sql.optimizer.runtime.bloomFilter."
+                      "creationSideThreshold",
+                      "spark.sql.autoBroadcastJoinThreshold"):
+                try:
+                    rf_confs.append(self.spark.conf.get(k))
+                except Exception:
+                    rf_confs.append("")
+            # repr(cfg) (the _BAIL_CACHE convention) keys the WHOLE
+            # config: plan_candidates reads the full gate stack, not
+            # just the cede knobs
+            vk = (getattr(self, "_stmt_ck", None) or query,
+                  tuple(rf_confs),
+                  frozenset((rows_base or {}).items()),
+                  frozenset(filtered or ()),
+                  repr(cfg))
+            if vk in _CEDE_CACHE:
+                return _CEDE_CACHE[vk]
+        except TypeError:
+            vk = None  # unhashable component: fall through uncached
+        res = self._cede_verdict_uncached(query, cfg, plan, dfs,
+                                          rows_est, filtered, rows_base,
+                                          neighbor_edges, opaque,
+                                          host_prefiltered)
+        if vk is not None:
+            if len(_CEDE_CACHE) >= 256:
+                _CEDE_CACHE.pop(next(iter(_CEDE_CACHE)))
+            _CEDE_CACHE[vk] = res
+        return res
+
+    def _cede_verdict_uncached(self, query, cfg, plan, dfs, rows_est,
+                               filtered, rows_base, neighbor_edges,
+                               opaque, host_prefiltered):
         from .operators.rewrite import plan_candidates
 
         cand = plan_candidates(dfs, rows_est, filtered, plan, cfg,

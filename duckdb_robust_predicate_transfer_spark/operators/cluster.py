@@ -23,11 +23,13 @@ convergence check is one count aggregate, not a collect of labels.
 At 100 TB scale the same loop shape holds: the label frontier shuffles
 on node id each round, and adversarial diameters are covered by the
 default pointer-jumping step (each round additionally replaces a
-node's label with its label's label, doubling effective propagation
-distance — O(log diameter) rounds total instead of O(diameter), the
-classic Shiloach-Vishkin shortcut as used by the MapReduce CC
-literature). One extra self-join per round; duplicate-cluster graphs
-converge in 2-3 rounds either way.
+node's label with its label's label, TWICE — quartering the remaining
+chain length per round; O(log diameter) rounds total instead of
+O(diameter), the classic Shiloach-Vishkin shortcut as used by the
+MapReduce CC literature). Two extra in-round self-joins trade against
+whole driver-sequenced rounds, each of which costs a checkpoint job
+plus a convergence-count job; duplicate-cluster graphs converge in
+2-3 rounds either way.
 """
 
 from __future__ import annotations
@@ -68,17 +70,25 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
                     F.least(F.min("label"), F.min("nbr_label"))
                     .alias("label")))
         if pointer_jump:
-            # label-chain contraction: node takes its label's label
-            # (always present — every label is itself a node), halving
-            # the remaining chain length each round
-            parent = new.select(F.col("node").alias("p_node"),
-                                F.col("label").alias("p_label"))
-            new = (new.join(parent, new.label == parent.p_node, "left")
-                   .select(F.col("node"), F.col("old_label"),
-                           F.least(F.col("label"),
-                                   F.coalesce(F.col("p_label"),
-                                              F.col("label")))
-                           .alias("label")))
+            # label-chain contraction, applied TWICE per checkpointed
+            # round: node takes its label's label, then that label's
+            # label (always present — every label is itself a node).
+            # Each application halves the remaining chain length, so two
+            # contractions quarter it; the extra self-join runs inside
+            # the SAME driver round, trading a cheap in-round join for
+            # whole driver-sequenced rounds (each round costs a
+            # localCheckpoint job + a convergence-count job — the
+            # dominant fixed cost of the loop at any scale).
+            for _ in range(2):
+                parent = new.select(F.col("node").alias("p_node"),
+                                    F.col("label").alias("p_label"))
+                new = (new.join(parent, new.label == parent.p_node,
+                                "left")
+                       .select(F.col("node"), F.col("old_label"),
+                               F.least(F.col("label"),
+                                       F.coalesce(F.col("p_label"),
+                                                  F.col("label")))
+                               .alias("label")))
         new = new.localCheckpoint(eager=True)
         changed = (new.filter(F.col("label") != F.col("old_label"))
                    .count())

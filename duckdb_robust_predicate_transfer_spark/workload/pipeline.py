@@ -692,7 +692,6 @@ def q_stream_sessionize(spark, sf_dir):
     output equal the batch gap-sessionization row-for-row
     (tests/test_streaming.py proves the multi-batch variant)."""
     import os
-    import tempfile
     import uuid
     from datetime import timedelta
 
@@ -702,10 +701,11 @@ def q_stream_sessionize(spark, sf_dir):
                                  sessionize_stream)
 
     ev = get_catalog(spark, sf_dir).table("events")
-    far_future = (ev.agg(F.max("ts")).collect()[0][0]
-                  + timedelta(days=11))
+    mx, n_users = ev.agg(F.max("ts"),
+                         F.approx_count_distinct("user_id")).collect()[0]
+    far_future = mx + timedelta(days=11)
     tag = uuid.uuid4().hex[:8]
-    sdir = os.path.join(tempfile.gettempdir(), f"drpt_stream_{tag}")
+    sdir = os.path.join(_scratch_base(), f"drpt_stream_{tag}")
     os.makedirs(sdir, exist_ok=True)
 
     def _drop(df, name):
@@ -722,10 +722,16 @@ def q_stream_sessionize(spark, sf_dir):
     _drop(_one_row_df(spark, ev.schema,
                       (-1, far_future, -1, "view", 0.0, "{}")), "b1")
     stream = read_event_stream(spark, sdir, glob="b*.parquet")
-    got = run_to_memory(sessionize_stream(stream), f"sessions_{tag}",
-                        timeout_s=300,
-                        state_partitions=adaptive_state_partitions(
-                            spark, sdir, "b*.parquet"))
+    # bucketed state key (streaming/ops.py): every state group pays a
+    # fixed per-micro-batch Python round trip + state-store commit, so
+    # group count — not row count — dominates at high key cardinality;
+    # ~64 users per bucket amortizes the fixed cost while keeping each
+    # state entry small. Emitted rows are identical (oracle-checked).
+    parts = adaptive_state_partitions(spark, sdir, "b*.parquet")
+    got = run_to_memory(
+        sessionize_stream(stream,
+                          n_buckets=max(parts, -(-int(n_users) // 64))),
+        f"sessions_{tag}", timeout_s=300, state_partitions=parts)
     # the memory sink holds the rows; the drop-zone files are disposable
     import shutil
     shutil.rmtree(sdir, ignore_errors=True)
@@ -743,6 +749,21 @@ def _one_row_df(spark, schema, values):
     return spark.range(1).select(*cols)
 
 
+def _scratch_base() -> str:
+    """tmpfs when available for the throwaway stream drop zones — the
+    fixture files live only until the memory sink holds the rows, so
+    disk durability buys nothing and the parquet write/read round-trip
+    is measurably faster in memory. Falls back to the default temp
+    dir."""
+    import os
+    import tempfile
+
+    base = "/dev/shm"
+    if os.path.isdir(base) and os.access(base, os.W_OK):
+        return base
+    return tempfile.gettempdir()
+
+
 def _stream_drop_zone(dfs: dict) -> tuple:
     """Write each DataFrame (name -> df) as ONE flat parquet file into a
     fresh temp drop-zone directory, in dict order. Spark-written files
@@ -751,11 +772,10 @@ def _stream_drop_zone(dfs: dict) -> tuple:
     (dir, tag); the caller removes the dir once the memory sink holds
     the rows."""
     import os
-    import tempfile
     import uuid
 
     tag = uuid.uuid4().hex[:8]
-    sdir = os.path.join(tempfile.gettempdir(), f"drpt_stream_{tag}")
+    sdir = os.path.join(_scratch_base(), f"drpt_stream_{tag}")
     os.makedirs(sdir, exist_ok=True)
     for name, df in dfs.items():
         tmp = os.path.join(sdir, f"_tmp_{name}")
@@ -912,7 +932,9 @@ def q_stream_asof(spark, sf_dir):
     # flushes all buffered state), so equal-width cuts from min/max
     # replace the exact-quantile job (which cost ~2.4 s at sf0.1).
     us = F.unix_micros("ts")
-    lo, hi, mx = raw.agg(F.min(us), F.max(us), F.max("ts")).collect()[0]
+    lo, hi, mx, n_users = raw.agg(
+        F.min(us), F.max(us), F.max("ts"),
+        F.approx_count_distinct("user_id")).collect()[0]
     qs = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
     far_future = mx + timedelta(days=11)
     sentinel = _one_row_df(spark, raw.schema,
@@ -945,9 +967,13 @@ def q_stream_asof(spark, sf_dir):
         f = os.path.join(sdir, f"b{i}.parquet")
         os.utime(f, (1_000_000 + i, 1_000_000 + i))
     stream = read_event_stream(spark, sdir, glob="b*.parquet")
-    got = run_to_memory(asof_stream(stream), f"asof_{tag}", timeout_s=300,
-                        state_partitions=adaptive_state_partitions(
-                            spark, sdir, "b*.parquet"))
+    # bucketed state key: see q_stream_sessionize — per-group fixed
+    # cost dominates at ~1,500 single-user groups x 4 micro-batches
+    parts = adaptive_state_partitions(spark, sdir, "b*.parquet")
+    got = run_to_memory(
+        asof_stream(stream,
+                    n_buckets=max(parts, -(-int(n_users) // 64))),
+        f"asof_{tag}", timeout_s=300, state_partitions=parts)
     out = (got.filter(F.col("user_id") >= 0)
            .select("event_id", "user_id", "purchase_ts", "purchase_value"))
     out = out.localCheckpoint(eager=True)  # sink table outlives cleanup
