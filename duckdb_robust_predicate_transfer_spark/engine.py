@@ -1167,10 +1167,13 @@ class Engine:
         while pending:
             progressed = False
             for e in list(pending):
-                cond = None
-                for lc, rc in zip(e.left_cols, e.right_cols):
-                    p = F.col(lc) == F.col(rc)
-                    cond = p if cond is None else (cond & p)
+                # one expr() round trip builds the whole conjunction
+                # JVM-side; F.col(lc) == F.col(rc) per pair costs 3
+                # py4j calls each and parses to the same unresolved
+                # EqualTo attributes (plan-identical, construction-only)
+                cond = F.expr(" AND ".join(
+                    f"`{lc}` = `{rc}`"
+                    for lc, rc in zip(e.left_cols, e.right_cols)))
                 if e.left in included and e.right in included:
                     joined = joined.where(cond)
                     pending.remove(e)
