@@ -700,9 +700,29 @@ def q_stream_sessionize(spark, sf_dir):
                                  read_event_stream, run_to_memory,
                                  sessionize_stream)
 
-    ev = get_catalog(spark, sf_dir).table("events")
-    mx, n_users = ev.agg(F.max("ts"),
-                         F.approx_count_distinct("user_id")).collect()[0]
+    cat = get_catalog(spark, sf_dir)
+    ev = cat.table("events")
+    # ONE pass over the fixture (guide §1.2, r11): max(ts) comes from
+    # the parquet footer statistics (metadata-only, no job) and the
+    # approximate user count rides the b0 drop-zone write below as an
+    # observe() side-channel — the separate scan-and-aggregate job this
+    # replaces read the whole events table once more for two scalars.
+    # Footers without statistics keep the original one-agg-job path.
+    # n_users only sizes the state buckets (output-invariant at any
+    # value — tests/test_r11_opts.py), and the sentinel only needs to
+    # exceed the true max; footer stats are exact anyway.
+    rng = _footer_ts_us(cat.path("events"))
+    obs = None
+    if rng is None:
+        mx, n_users = ev.agg(
+            F.max("ts"), F.approx_count_distinct("user_id")).collect()[0]
+    else:
+        from pyspark.sql import Observation
+
+        mx = _EPOCH + timedelta(microseconds=rng[1])
+        obs = Observation()
+        ev = ev.observe(obs, F.approx_count_distinct("user_id")
+                        .alias("nu"))
     far_future = mx + timedelta(days=11)
     tag = uuid.uuid4().hex[:8]
     sdir = os.path.join(_scratch_base(), f"drpt_stream_{tag}")
@@ -719,6 +739,8 @@ def q_stream_sessionize(spark, sf_dir):
                    os.path.join(sdir, f"{name}.parquet"))
 
     _drop(ev, "b0")
+    if obs is not None:
+        n_users = obs.get["nu"]  # the b0 write above computed it
     _drop(_one_row_df(spark, ev.schema,
                       (-1, far_future, -1, "view", 0.0, "{}")), "b1")
     stream = read_event_stream(spark, sdir, glob="b*.parquet")
@@ -747,6 +769,49 @@ def _one_row_df(spark, schema, values):
     cols = [F.lit(v).cast(f.dataType).alias(f.name)
             for f, v in zip(schema.fields, values)]
     return spark.range(1).select(*cols)
+
+
+def _footer_ts_us(path: str) -> "tuple[int, int] | None":
+    """(lo_us, hi_us) of an event fixture's ``ts`` column from parquet
+    FOOTER statistics — metadata-only, no Spark job (guide §1.2: the
+    stream preps used to pay a full scan-and-aggregate pass to learn a
+    time range the footers already record; at scale that pass reads the
+    whole events table once for three scalars). Returns None when any
+    row group lacks statistics — callers fall back to the original agg
+    job. Handles both fixture flavors: MICROS-NTZ (datetime stats) and
+    NANOS (integer-nanosecond or Timestamp stats). The values feed only
+    output-invariant decisions (ts-range cut points, the far-future
+    sentinel, state-bucket sizing), but footer min/max are exact anyway.
+    """
+    import calendar
+    import datetime as _dt
+
+    from ..catalog import parquet_col_range
+
+    rng = parquet_col_range(path, "ts")
+    if rng is None:
+        return None
+
+    def us(v):
+        if isinstance(v, _dt.datetime):
+            return (calendar.timegm(v.utctimetuple()) * 1_000_000
+                    + v.microsecond)
+        if isinstance(v, int):
+            return v // 1000  # NANOS flavor: int64 nanoseconds
+        value = getattr(v, "value", None)  # pandas Timestamp: ns int
+        if value is not None:
+            return int(value) // 1000
+        raise TypeError(f"unsupported ts statistic type {type(v)}")
+
+    try:
+        return us(rng[0]), us(rng[1])
+    except (TypeError, ValueError, OverflowError):
+        return None
+
+
+#: epoch origin for converting footer micros back to naive datetimes
+#: (session timezone is UTC; the fixtures are NTZ)
+_EPOCH = __import__("datetime").datetime(1970, 1, 1)
 
 
 def _scratch_base() -> str:
@@ -925,16 +990,35 @@ def q_stream_asof(spark, sf_dir):
     from ..streaming.ops import (adaptive_state_partitions, asof_stream,
                                  read_event_stream, run_to_memory)
 
-    raw = get_catalog(spark, sf_dir).table("events")
-    # One agg job yields the split points AND the sentinel timestamp.
-    # The asof output is invariant to WHERE the ts-range cuts fall (any
-    # range partition keeps batches time-ordered, and the sentinel
-    # flushes all buffered state), so equal-width cuts from min/max
-    # replace the exact-quantile job (which cost ~2.4 s at sf0.1).
-    us = F.unix_micros("ts")
-    lo, hi, mx, n_users = raw.agg(
-        F.min(us), F.max(us), F.max("ts"),
-        F.approx_count_distinct("user_id")).collect()[0]
+    cat = get_catalog(spark, sf_dir)
+    raw = cat.table("events")
+    # ZERO pre-pass jobs when footers carry statistics (guide §1.2,
+    # r11): the split points and the sentinel timestamp come from the
+    # parquet footer min/max (metadata-only), and the approximate user
+    # count rides the range-split write below as an observe() side-
+    # channel — the agg job this replaces was a full scan of events for
+    # four scalars. The asof output is invariant to WHERE the ts-range
+    # cuts fall (any range partition keeps batches time-ordered, and
+    # the sentinel flushes all buffered state), and n_users only sizes
+    # the state buckets (output-invariant at any value), so equal-width
+    # cuts from min/max are sufficient — and footer stats are exact
+    # anyway. Footers without statistics keep the one-agg-job path.
+    rng = _footer_ts_us(cat.path("events"))
+    obs = None
+    if rng is None:
+        us = F.unix_micros("ts")
+        lo, hi, mx, n_users = raw.agg(
+            F.min(us), F.max(us), F.max("ts"),
+            F.approx_count_distinct("user_id")).collect()[0]
+        raw_w = raw
+    else:
+        from pyspark.sql import Observation
+
+        lo, hi = rng
+        mx = _EPOCH + timedelta(microseconds=hi)
+        obs = Observation()
+        raw_w = raw.observe(obs, F.approx_count_distinct("user_id")
+                            .alias("nu"))
     qs = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
     far_future = mx + timedelta(days=11)
     sentinel = _one_row_df(spark, raw.schema,
@@ -948,10 +1032,13 @@ def q_stream_asof(spark, sf_dir):
     # but the three range files write in parallel instead of through a
     # single coalesce(1) task (VERDICT r10 "What's wrong" #5).
     tmp = os.path.join(sdir, "_tmp_ranges")
-    (raw.withColumn("_b", F.when(us <= qs[0], 0)
-                    .when(us <= qs[1], 1).otherwise(2))
+    us = F.unix_micros("ts")
+    (raw_w.withColumn("_b", F.when(us <= qs[0], 0)
+                      .when(us <= qs[1], 1).otherwise(2))
      .repartition(3, "_b")
      .write.mode("overwrite").partitionBy("_b").parquet(tmp))
+    if obs is not None:
+        n_users = obs.get["nu"]  # the range write above computed it
     for i in range(3):
         d = os.path.join(tmp, f"_b={i}")
         if os.path.isdir(d):

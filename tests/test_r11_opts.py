@@ -114,3 +114,38 @@ def test_cc_double_jump_same_fixpoint_fewer_rounds(spark):
         n: 100 for n in (100, 101, 102, 103)}
     assert {got[200], got[201], got[202]} == {200}
     assert got[300] == 300 and got[301] == 300
+
+
+def test_footer_ts_range_matches_agg(spark, sf_dir):
+    """3. Footer-stat stream prep (workload/pipeline._footer_ts_us):
+    the metadata-only (min, max) of events.ts must equal the values the
+    replaced scan-and-aggregate job produced, so the ts-range cuts and
+    the far-future sentinel are byte-identical to the agg-job path."""
+    from duckdb_robust_predicate_transfer_spark.catalog import get_catalog
+    from duckdb_robust_predicate_transfer_spark.workload.pipeline import (
+        _EPOCH, _footer_ts_us)
+
+    cat = get_catalog(spark, sf_dir)
+    rng = _footer_ts_us(cat.path("events"))
+    assert rng is not None, "fixture footers should carry ts statistics"
+    lo, hi, mx = cat.table("events").agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts")),
+        F.max("ts")).collect()[0]
+    assert rng == (lo, hi)
+    from datetime import timedelta
+    assert _EPOCH + timedelta(microseconds=rng[1]) == mx
+
+
+def test_footer_ts_range_none_without_stats(tmp_path):
+    """Statistics-free parquet must fall back (return None), keeping
+    the original agg-job path alive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_robust_predicate_transfer_spark.workload.pipeline import (
+        _footer_ts_us)
+
+    t = pa.table({"ts": pa.array([1, 2, 3], type=pa.timestamp("us"))})
+    p = str(tmp_path / "nostats.parquet")
+    pq.write_table(t, p, write_statistics=False)
+    assert _footer_ts_us(p) is None
