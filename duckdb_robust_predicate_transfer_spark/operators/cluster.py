@@ -39,7 +39,8 @@ from pyspark.sql import DataFrame, functions as F
 
 def connected_components(pairs: DataFrame, a_col: str = "id_a",
                          b_col: str = "id_b", max_iters: int = 20,
-                         pointer_jump: bool = True) -> DataFrame:
+                         pointer_jump: bool = True,
+                         pairs_canonical: bool = False) -> DataFrame:
     """(node, label) for every node appearing in ``pairs``; ``label``
     is the minimum node id reachable from ``node`` (deterministic
     canonical representative).
@@ -47,12 +48,23 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
     ``pointer_jump=True`` (default) adds a label-chain contraction each
     round: sound because ``label(n) <= n`` is invariant (min always
     includes self), so ``label(label(n))`` is a reachable, no-larger
-    representative for ``n``."""
+    representative for ``n``.
+
+    ``pairs_canonical=True`` declares the input already DISTINCT with
+    ``a_col < b_col`` on every row (the near-dup pair pipelines end in
+    exactly that shape). The undirected edge list is then duplicate-free
+    by construction — the two union legs cannot overlap (one has
+    src<dst, the other src>dst) and each leg inherits the input's
+    distinctness — so the edge-dedup exchange+aggregate is skipped.
+    Duplicate edges would only cost work, never correctness (min-label
+    propagation is idempotent over repeated edges), so the flag is a
+    pure shuffle-removal knob (guide §2.4)."""
     und = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
            .union(pairs.select(F.col(b_col).alias("src"),
-                               F.col(a_col).alias("dst")))
-           .distinct()
-           .localCheckpoint(eager=True))
+                               F.col(a_col).alias("dst"))))
+    if not pairs_canonical:
+        und = und.distinct()
+    und = und.localCheckpoint(eager=True)
     labels = (und.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=True))
@@ -99,11 +111,13 @@ def connected_components(pairs: DataFrame, a_col: str = "id_a",
 
 
 def dedup_clusters(docs: DataFrame, pairs: DataFrame,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   pairs_canonical: bool = False) -> DataFrame:
     """Collapse near-duplicate clusters to one canonical survivor per
     component (minimum id wins; documents in no pair survive as their
-    own singleton). Returns ``docs`` filtered to the survivors."""
-    comp = connected_components(pairs)
+    own singleton). Returns ``docs`` filtered to the survivors.
+    ``pairs_canonical`` — see ``connected_components``."""
+    comp = connected_components(pairs, pairs_canonical=pairs_canonical)
     losers = (comp.filter(F.col("node") != F.col("label"))
               .select(F.col("node").alias(id_col)))
     return docs.join(losers, id_col, "left_anti")

@@ -1548,8 +1548,11 @@ def q_dedup_clusters(spark, sf_dir):
     e = eng(spark, sf_dir)
     pairs = _portable_minhash_pairs(e)
     docs = e.table("documents").select("doc_id")
+    # pairs_canonical: _portable_minhash_pairs ends in .distinct() with
+    # doc_a < doc_b on every row, so CC skips its edge-dedup exchange
     return dedup_clusters(docs, pairs.select(
-        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")))
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")),
+        pairs_canonical=True)
 
 
 @query(

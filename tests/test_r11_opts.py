@@ -149,3 +149,19 @@ def test_footer_ts_range_none_without_stats(tmp_path):
     p = str(tmp_path / "nostats.parquet")
     pq.write_table(t, p, write_statistics=False)
     assert _footer_ts_us(p) is None
+
+
+def test_cc_pairs_canonical_same_labels(spark):
+    """4. pairs_canonical skips the edge-dedup exchange; labels must be
+    identical to the default path on canonical (distinct, a<b) input."""
+    from duckdb_robust_predicate_transfer_spark.operators.cluster import (
+        connected_components)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (10, 12)],
+        "id_a long, id_b long")
+    base = sorted(map(tuple, connected_components(pairs).collect()))
+    fast = sorted(map(tuple, connected_components(
+        pairs, pairs_canonical=True).collect()))
+    assert fast == base == [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5),
+                            (10, 10), (11, 10), (12, 10)]
